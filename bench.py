@@ -1,0 +1,87 @@
+"""Benchmark: Mrays/s/chip forward+backward on the Cornell box (BASELINE config 3).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: Cornell box 512x512, 64 spp total, differentiable render — each spp
+chunk computes the L2-loss gradient w.r.t. the material/texture parameter
+pytree (fwd+bwd through the wavefront path tracer).  "rays" follows the
+reference's counting (rays_per_pixel = spp, `render.h:35-38`): one camera
+sample = one ray, so Mrays/s = pixels * spp / seconds / 1e6.
+
+The reference publishes no absolute numbers (BASELINE.md: published == {}), so
+vs_baseline is reported against the round-1 recorded value once one exists.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from raytracing_gpu_tpu.core.config import RenderSettings
+from raytracing_gpu_tpu.engine import diff
+from raytracing_gpu_tpu.engine.render import render_chunk
+from raytracing_gpu_tpu.models import scenes
+
+# Round-1 recorded value for relative tracking; None until first measurement.
+BASELINE_MRAYS = None
+
+WIDTH = 512
+SPP_TOTAL = 64
+SPP_PER_CHUNK = 8
+MAX_DEPTH = 8
+RAY_BATCH = 65536
+
+
+def main() -> None:
+    sd = scenes.get("cornell_box")
+    settings = RenderSettings(
+        image_width=WIDTH, aspect_ratio=1.0, spp_per_chunk=SPP_PER_CHUNK,
+        num_chunks=SPP_TOTAL // SPP_PER_CHUNK, max_depth=MAX_DEPTH,
+        ray_batch=RAY_BATCH,
+    )
+    key = jax.random.PRNGKey(1984)
+
+    def render_fn_builder(chunk_key):
+        def render_fn(scene):
+            return render_chunk(scene, sd.camera, settings, chunk_key)
+        return render_fn
+
+    target = jnp.zeros_like(render_chunk(sd.scene, sd.camera, settings, key))
+
+    @jax.jit
+    def fwd_bwd(params, chunk_key):
+        def loss_fn(p):
+            scene = diff.set_params(sd.scene, p)
+            out = render_chunk(scene, sd.camera, settings, chunk_key)
+            return jnp.mean((out - target) ** 2)
+        return jax.value_and_grad(loss_fn)(params)
+
+    params = diff.get_params(sd.scene)
+
+    # warmup / compile
+    loss, grads = fwd_bwd(params, key)
+    jax.block_until_ready(grads)
+
+    t0 = time.perf_counter()
+    for c in range(settings.num_chunks):
+        ck = jax.random.fold_in(key, c)
+        loss, grads = fwd_bwd(params, ck)
+    jax.block_until_ready(grads)
+    dt = time.perf_counter() - t0
+
+    rays = WIDTH * WIDTH * SPP_TOTAL
+    mrays = rays / dt / 1e6
+    print(json.dumps({
+        "metric": "Mrays/s/chip fwd+bwd (Cornell box 512^2, 64spp, depth 8)",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": (round(mrays / BASELINE_MRAYS, 3)
+                        if BASELINE_MRAYS else None),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Material scatter/emit: tagged table, branchless batched evaluation.
+
+The reference dispatches `material::scatter`/`emitted` virtually per ray
+(`material.h:9-14`).  Here every material kind's scatter direction and
+attenuation are computed for the whole batch and selected by the per-hit kind
+tag (five cheap kinds -> compute-all-and-select is the idiomatic TPU form of
+virtual dispatch).  Sampled directions are detached from the autodiff graph
+(detached-sampling estimator); attenuation/emission stay differentiable so
+image gradients flow into texture/material parameters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..core import rng, vec
+from .textures import eval_texture
+from .types import (
+    DIELECTRIC,
+    DIFFUSE_LIGHT,
+    ISOTROPIC,
+    LAMBERTIAN,
+    METAL,
+    Scene,
+)
+
+
+class ScatterResult(NamedTuple):
+    direction: Array    # (N, 3) new ray direction (not normalized, like reference)
+    attenuation: Array  # (N, 3)
+    emitted: Array      # (N, 3)
+    ok: Array           # (N,) bool — False: absorbed / pure emitter
+
+
+def scatter(
+    scene: Scene,
+    key: Array,
+    in_dir: Array,   # (N, 3) incoming ray direction
+    p: Array,        # (N, 3) hit point
+    normal: Array,   # (N, 3) shading normal (already faced against the ray)
+    front_face: Array,  # (N,) bool
+    u: Array,
+    v: Array,
+    mat_id: Array,   # (N,) int32
+) -> ScatterResult:
+    mats = scene.materials
+    kind = mats.kind[mat_id]
+    fuzz = mats.fuzz[mat_id]
+    ir = mats.ir[mat_id]
+    tex_color = eval_texture(scene, mats.tex_id[mat_id], u, v, p)
+
+    n = in_dir.shape[:-1]
+    k_unit, k_sphere, k_iso, k_refl = jax.random.split(key, 4)
+    unit_v = rng.unit_vector(k_unit, n)        # lambertian cosine-ish lobe
+    sphere_v = rng.in_unit_sphere(k_sphere, n)  # metal fuzz
+    iso_v = rng.in_unit_sphere(k_iso, n)        # isotropic phase function
+    u_refl = rng.uniform(k_refl, n)             # dielectric reflect choice
+
+    # --- lambertian (material.h:16-36): normal + random unit vector, with the
+    # degenerate-direction catch.
+    lam_dir = normal + unit_v
+    lam_dir = vec.where(vec.near_zero(lam_dir), normal, lam_dir)
+
+    # --- metal (material.h:39-56): mirror + fuzz * in-sphere; absorbed if the
+    # scattered ray ends up below the surface.
+    refl = vec.reflect(vec.unit(in_dir), normal)
+    metal_dir = refl + fuzz[..., None] * sphere_v
+    metal_ok = vec.dot(metal_dir, normal) > 0.0
+
+    # --- dielectric (material.h:59-104): Snell + total internal reflection +
+    # Schlick, attenuation (1,1,1).
+    ratio = jnp.where(front_face, 1.0 / ir, ir)
+    unit_dir = vec.unit(in_dir)
+    cos_theta = jnp.minimum(vec.dot(-unit_dir, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    cannot_refract = ratio * sin_theta > 1.0
+    reflectance = _schlick(cos_theta, ratio)
+    choose_reflect = cannot_refract | (reflectance > u_refl)
+    diel_dir = vec.where(
+        choose_reflect,
+        vec.reflect(unit_dir, normal),
+        vec.refract(unit_dir, normal, ratio),
+    )
+
+    # --- select by kind ------------------------------------------------------
+    is_lam = kind == LAMBERTIAN
+    is_metal = kind == METAL
+    is_diel = kind == DIELECTRIC
+    is_light = kind == DIFFUSE_LIGHT
+    is_iso = kind == ISOTROPIC
+
+    direction = vec.where(is_lam, lam_dir, lam_dir)
+    direction = vec.where(is_metal, metal_dir, direction)
+    direction = vec.where(is_diel, diel_dir, direction)
+    direction = vec.where(is_iso, iso_v, direction)
+    # Detached sampling: the sampled direction is treated as a constant by
+    # autodiff; radiance gradients flow through attenuation/emission only.
+    direction = jax.lax.stop_gradient(direction)
+
+    white = jnp.ones_like(tex_color)
+    attenuation = jnp.where(is_diel[..., None], white, tex_color)
+
+    emitted = jnp.where(is_light[..., None], tex_color, jnp.zeros_like(tex_color))
+
+    ok = jnp.where(is_metal, metal_ok, True) & ~is_light
+    return ScatterResult(direction, attenuation, emitted, ok)
+
+
+def _schlick(cosine: Array, ref_idx: Array) -> Array:
+    """Schlick reflectance approximation (reference `material.h:97-103`)."""
+    sqrt_r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+    r0 = sqrt_r0 * sqrt_r0
+    return r0 + (1.0 - r0) * jnp.power(jnp.maximum(1.0 - cosine, 0.0), 5.0)

@@ -1,0 +1,58 @@
+"""End-to-end render tests: determinism, energy sanity, checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from raytracing_gpu_tpu import RenderSettings, render, render_linear
+from raytracing_gpu_tpu.models import scenes
+
+SMALL = dict(image_width=64, spp_per_chunk=4, num_chunks=2, max_depth=6,
+             ray_batch=4096)
+
+
+@pytest.fixture(scope="module")
+def basic():
+    return scenes.get("basic")
+
+
+class TestRender:
+    def test_shape_and_range(self, basic):
+        st = RenderSettings(aspect_ratio=basic.aspect, **SMALL)
+        img = render(basic.scene, basic.camera, st)
+        assert img.shape == (st.image_height, st.image_width, 3)
+        assert np.all(img >= 0.0) and np.all(img <= 1.0)
+        # sky background keeps mean energy well away from 0 and 1
+        assert 0.2 < img.mean() < 0.9
+
+    def test_deterministic(self, basic):
+        st = RenderSettings(aspect_ratio=basic.aspect, **SMALL)
+        a = render(basic.scene, basic.camera, st, seed=7)
+        c = render(basic.scene, basic.camera, st, seed=7)
+        d = render(basic.scene, basic.camera, st, seed=8)
+        np.testing.assert_array_equal(a, c)
+        assert not np.array_equal(a, d)
+
+    def test_checkpoint_resume(self, basic, tmp_path):
+        st = RenderSettings(aspect_ratio=basic.aspect, **SMALL)
+        full = render_linear(basic.scene, basic.camera, st, seed=3)
+
+        # render chunk 0, "crash", resume: must give the identical result
+        ck = str(tmp_path / "ckpt")
+        st1 = st.with_(num_chunks=1)
+        render_linear(basic.scene, basic.camera, st1, seed=3, checkpoint_dir=ck)
+        resumed = render_linear(basic.scene, basic.camera, st, seed=3,
+                                checkpoint_dir=ck)
+        np.testing.assert_allclose(resumed, full, rtol=1e-6)
+
+    def test_more_samples_reduces_noise(self, basic):
+        st_lo = RenderSettings(aspect_ratio=basic.aspect, image_width=48,
+                               spp_per_chunk=2, num_chunks=1, max_depth=4,
+                               ray_batch=4096)
+        st_hi = st_lo.with_(spp_per_chunk=32)
+        ref = render_linear(basic.scene, basic.camera,
+                            st_lo.with_(spp_per_chunk=64), seed=11)
+        lo = render_linear(basic.scene, basic.camera, st_lo, seed=5)
+        hi = render_linear(basic.scene, basic.camera, st_hi, seed=5)
+        err_lo = np.abs(lo - ref).mean()
+        err_hi = np.abs(hi - ref).mean()
+        assert err_hi < err_lo

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import struct
 from jax import Array
 
+from ..accel import traverse as _traverse
 from ..core import rng, vec
 from ..scene.types import Scene
 
@@ -364,8 +365,6 @@ def closest_hit(scene: Scene, o: Array, d: Array, tm: Array, key: Array,
     Replaces the reference's per-thread `(*world)->hit(...)` virtual scan
     (`render.h:62`, `hittable_list.h:23-39`).
     """
-    from ..accel import traverse as _traverse  # local import to avoid cycle
-
     if scene.sphere_bvh is not None:
         t_s, i_s = _traverse.traverse_spheres(scene, o, d, tm, t_min, t_max)
     else:
@@ -384,6 +383,10 @@ def closest_hit(scene: Scene, o: Array, d: Array, tm: Array, key: Array,
     t_med, med_mat, med_valid = _media_candidate(scene, key, o, d, tm, t_min, t_solid)
     is_medium = med_valid & (t_med < t_solid)
     t_final = jnp.where(is_medium, t_med, t_solid)
+    # Geometry is non-differentiable by design (north star differentiates
+    # material/texture/emitter params only): detach t so hit points and all
+    # downstream ray chains carry no geometry tangents.
+    t_final = jax.lax.stop_gradient(t_final)
     hit = t_final < BIG * 0.5
 
     # Deferred attributes: one gather + attribute evaluation per type for the

@@ -296,9 +296,11 @@ class SceneBuilder:
 
         n_tris = len(self._tris)
         n_sph = len(self._spheres)
-        want_tri_bvh = bvh == "always" or (bvh == "auto" and n_tris > bvh_threshold)
-        want_sph_bvh = bvh == "always" and n_sph > 1 or (
-            bvh == "auto" and n_sph > max(bvh_threshold, 512)
+        want_tri_bvh = n_tris > 0 and (
+            bvh == "always" or (bvh == "auto" and n_tris > bvh_threshold)
+        )
+        want_sph_bvh = n_sph > 1 and (
+            bvh == "always" or (bvh == "auto" and n_sph > max(bvh_threshold, 512))
         )
         if want_tri_bvh or want_sph_bvh:
             from ..accel import bvh as bvh_mod
@@ -307,8 +309,8 @@ class SceneBuilder:
                 scene = scene.replace(
                     tri_bvh=bvh_mod.build_triangle_bvh(self._tris, leaf_size))
             if want_sph_bvh:
-                scene = scene.replace(
-                    sphere_bvh=bvh_mod.build_sphere_bvh(self._spheres, leaf_size))
+                sph_bvh, _ = bvh_mod.build_sphere_bvh(self._spheres, leaf_size)
+                scene = scene.replace(sphere_bvh=sph_bvh)
         return scene
 
     def _pack_spheres(self) -> Spheres:

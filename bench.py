@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from raytracing_gpu_tpu.core.config import RenderSettings
 from raytracing_gpu_tpu.engine import diff
-from raytracing_gpu_tpu.engine.render import render_chunk
+from raytracing_gpu_tpu.engine.render import compile_param_renderer
 from raytracing_gpu_tpu.models import scenes
 
 # Round-1 recorded value for relative tracking; None until first measurement.
@@ -44,22 +44,17 @@ def main() -> None:
     )
     key = jax.random.PRNGKey(1984)
 
-    def render_fn_builder(chunk_key):
-        def render_fn(scene):
-            return render_chunk(scene, sd.camera, settings, chunk_key)
-        return render_fn
-
-    target = jnp.zeros_like(render_chunk(sd.scene, sd.camera, settings, key))
+    # geometry baked as XLA constants; params traced (7x faster than
+    # passing the whole scene as an argument — see engine/render.py)
+    param_chunk = compile_param_renderer(sd.scene, sd.camera, settings)
+    params = diff.get_params(sd.scene)
+    target = jnp.zeros_like(param_chunk(params, key))
 
     @jax.jit
     def fwd_bwd(params, chunk_key):
         def loss_fn(p):
-            scene = diff.set_params(sd.scene, p)
-            out = render_chunk(scene, sd.camera, settings, chunk_key)
-            return jnp.mean((out - target) ** 2)
+            return jnp.mean((param_chunk(p, chunk_key) - target) ** 2)
         return jax.value_and_grad(loss_fn)(params)
-
-    params = diff.get_params(sd.scene)
 
     # warmup / compile
     loss, grads = fwd_bwd(params, key)

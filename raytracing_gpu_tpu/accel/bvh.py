@@ -41,14 +41,30 @@ class FlatBVH:
 
 
 def build(bounds_min: np.ndarray, bounds_max: np.ndarray,
-          leaf_size: int = 4) -> FlatBVH:
+          leaf_size: int = 4, backend: str = "auto") -> FlatBVH:
     """Build a flat BVH over primitives given their AABBs.
 
-    bounds_min/bounds_max: (P, 3).  Median split on the largest centroid
-    extent, preorder layout, subtree-skip miss links.
+    bounds_min/bounds_max: (P, 3).  backend "auto" prefers the native C++
+    binned-SAH builder (raytracing_gpu_tpu.native) and falls back to this
+    module's numpy median-split builder; "numpy"/"native" force one.
+    Both emit the identical flat layout (preorder, threaded links).
     """
     p = len(bounds_min)
     assert p > 0
+
+    if backend in ("auto", "native"):
+        from .. import native as native_mod
+
+        out = native_mod.build_bvh_native(bounds_min, bounds_max, leaf_size)
+        if out is not None:
+            nmin, nmax, hit_link, miss_link, leaf_prims = out
+            return FlatBVH(
+                node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
+                hit_link=jnp.asarray(hit_link), miss_link=jnp.asarray(miss_link),
+                leaf_prims=jnp.asarray(leaf_prims),
+            )
+        if backend == "native":
+            raise RuntimeError("native BVH builder unavailable")
     centroids = 0.5 * (bounds_min + bounds_max)
 
     node_min: list = []

@@ -30,14 +30,19 @@ def uniform(key: Array, shape=(), lo: float = 0.0, hi: float = 1.0) -> Array:
 
 def unit_vector(key: Array, shape=()) -> Array:
     """Uniform direction on the unit sphere (reference `random_unit_vector`,
-    `vec3.h:143-145`) — analytic: normalized Gaussian instead of rejection."""
-    v = jax.random.normal(key, (*shape, 3), jnp.float32)
-    return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v, -1, keepdims=True), 1e-20))
+    `vec3.h:143-145`) — analytic cylinder-projection sampling: z ~ U[-1,1],
+    phi ~ U[0,2pi).  Two uniforms + sincos, far cheaper on the VPU than
+    normalized Gaussians (which need erfinv) and with no rejection loop."""
+    u = jax.random.uniform(key, (*shape, 2), jnp.float32)
+    z = 2.0 * u[..., 0] - 1.0
+    phi = (2.0 * jnp.pi) * u[..., 1]
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.stack((r * jnp.cos(phi), r * jnp.sin(phi), z), axis=-1)
 
 
 def in_unit_sphere(key: Array, shape=()) -> Array:
     """Uniform point in the unit ball (reference `random_in_unit_sphere`,
-    `vec3.h:129-136`) — analytic: direction times cbrt(U) radius."""
+    `vec3.h:129-136`) — analytic: uniform direction times cbrt(U) radius."""
     kd, kr = jax.random.split(key)
     d = unit_vector(kd, shape)
     r = jnp.cbrt(jax.random.uniform(kr, (*shape, 1), jnp.float32))

@@ -16,6 +16,8 @@ RTOW semantics, not reference bugs.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -81,3 +83,87 @@ def trace(
         bounce, state, jnp.arange(max_depth)
     )
     return radiance
+
+
+class BounceData(NamedTuple):
+    """Per-bounce shading inputs recorded by the path walk (stacked (D, ...))."""
+
+    mat_id: Array  # (D, N)
+    u: Array       # (D, N)
+    v: Array       # (D, N)
+    p: Array       # (D, N, 3)
+    hit: Array     # (D, N) hit this bounce while alive
+    cont: Array    # (D, N) path continued after this bounce
+    miss: Array    # (D, N) escaped to background this bounce
+
+
+def trace_bounces(
+    scene: Scene, origins, directions, times, key,
+    max_depth: int = 50, t_min: float = 0.001,
+) -> BounceData:
+    """Phase 1 of the differentiable split: walk paths with fully DETACHED
+    parameters, recording only the shading inputs each bounce needs.
+
+    Because nothing here carries parameter tangents, autodiff treats the whole
+    walk — intersection, BVH traversal, direction sampling — as constant
+    forward compute: no residual materialization, full fusion.  Phase 2
+    (`shade_radiance`) is the only differentiated code.
+    """
+    scene = jax.lax.stop_gradient(scene)
+    origins, directions, times = jax.lax.stop_gradient((origins, directions, times))
+    n = origins.shape[0]
+    state = (origins, directions, times, jnp.ones((n,), bool))
+
+    def bounce(state, depth):
+        o, d, tm, alive = state
+        kb = rng.fold(key, depth)
+        k_hit, k_scat = jax.random.split(kb)
+        rec = closest_hit(scene, o, d, tm, k_hit, t_min=t_min)
+        direction, ok = materials_mod.scatter_direction(
+            scene, k_scat, d, rec.normal, rec.front_face, rec.mat_id
+        )
+        hit_lane = alive & rec.hit
+        miss = alive & ~rec.hit
+        cont = hit_lane & ok
+        data = BounceData(mat_id=rec.mat_id, u=rec.u, v=rec.v, p=rec.p,
+                          hit=hit_lane, cont=cont, miss=miss)
+        o = vec.where(hit_lane, rec.p, o)
+        d = vec.where(hit_lane, direction, d)
+        return (o, d, tm, cont), data
+
+    _, data = jax.lax.scan(bounce, state, jnp.arange(max_depth))
+    return data
+
+
+def shade_radiance(scene: Scene, data: BounceData) -> Array:
+    """Phase 2: differentiable radiance accumulation over recorded bounces.
+
+    L = sum_b T_b * E_b (+ T_b * background on escape); T_{b+1} = T_b * A_b.
+    A (attenuation) and E (emission) are the only parameter-dependent factors,
+    so the autodiff graph is this product chain + texture evaluation — tiny
+    compared to the path walk.
+    """
+    n = data.mat_id.shape[1]
+
+    def step(throughput, b):
+        att, emit = materials_mod.shade(scene, b.mat_id, b.u, b.v, b.p)
+        contrib = jnp.where(b.miss[:, None], throughput * scene.background, 0.0)
+        contrib = contrib + jnp.where(b.hit[:, None], throughput * emit, 0.0)
+        throughput = jnp.where(b.cont[:, None], throughput * att, throughput)
+        return throughput, contrib
+
+    _, contribs = jax.lax.scan(step, jnp.ones((n, 3), jnp.float32), data)
+    return contribs.sum(axis=0)
+
+
+def trace_diff(
+    scene: Scene, origins, directions, times, key,
+    max_depth: int = 50, t_min: float = 0.001,
+) -> Array:
+    """Differentiable radiance estimate: identical Monte Carlo estimator to
+    `trace` (same keys, same paths) but with the walk/shade split so the
+    backward pass costs ~one texture-eval VJP per bounce instead of
+    differentiating the whole intersection pipeline."""
+    data = trace_bounces(scene, origins, directions, times, key,
+                         max_depth=max_depth, t_min=t_min)
+    return shade_radiance(scene, data)

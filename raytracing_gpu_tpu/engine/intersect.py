@@ -311,22 +311,31 @@ def _media_candidate(scene: Scene, key: Array, o, d, tm, t_min, t_solid):
     k_sp, k_bx = jax.random.split(key)
     d_len = vec.length(d)[:, None]
 
-    # sphere boundaries: near/far roots over (-inf, inf)
-    near, far, has = _sphere_quadratic(sp, o, d, tm)
-    t_sp, ok_sp = _medium_sample(
-        near, far, has & (sp.medium & sp.active)[None],
-        sp.neg_inv_density[None], d_len, k_sp, t_min, t_solid,
-    )
+    # `has_*_media` are static structure flags: media-free tables compile away
+    ts_parts, mats_parts = [], []
+    if scene.has_sphere_media:
+        near, far, has = _sphere_quadratic(sp, o, d, tm)
+        t_sp, _ = _medium_sample(
+            near, far, has & (sp.medium & sp.active)[None],
+            sp.neg_inv_density[None], d_len, k_sp, t_min, t_solid,
+        )
+        ts_parts.append(t_sp)
+        mats_parts.append(sp.mat_id)
+    if scene.has_box_media:
+        tn, tf = _box_slabs(bx, o, d)
+        t_bx, _ = _medium_sample(
+            tn, tf, (tf > tn) & (bx.medium & bx.active)[None],
+            bx.neg_inv_density[None], d_len, k_bx, t_min, t_solid,
+        )
+        ts_parts.append(t_bx)
+        mats_parts.append(bx.mat_id)
 
-    # box boundaries: slab interval
-    tn, tf = _box_slabs(bx, o, d)
-    t_bx, ok_bx = _medium_sample(
-        tn, tf, (tf > tn) & (bx.medium & bx.active)[None],
-        bx.neg_inv_density[None], d_len, k_bx, t_min, t_solid,
-    )
+    if not ts_parts:
+        n = o.shape[0]
+        return (jnp.full(n, BIG), jnp.zeros(n, jnp.int32), jnp.zeros(n, bool))
 
-    ts = jnp.concatenate((t_sp, t_bx), axis=1)
-    mats = jnp.concatenate((sp.mat_id, bx.mat_id))
+    ts = jnp.concatenate(ts_parts, axis=1)
+    mats = jnp.concatenate(mats_parts)
     best = jnp.argmin(ts, axis=1)
     t = jnp.take_along_axis(ts, best[:, None], axis=1)[:, 0]
     return t, mats[best], t < BIG * 0.5

@@ -9,6 +9,12 @@ every chunk (exact resume, no precision loss — see SURVEY §5 checkpoint notes
 
 Within a chunk, pixels are processed in `ray_batch`-sized waves via `lax.map`
 (the wavefront analogue of the reference's 8x8 CUDA grid, `render.h:129-130`).
+
+Performance note (TPU-measured): baking the scene into the compiled program as
+XLA constants (`compile_renderer`) is ~7x faster than passing it as an
+argument — the small primitive/material tables constant-fold into the fused
+intersection expressions.  The differentiable path (`compile_param_renderer`)
+keeps only the parameter pytree as traced arguments and bakes the geometry.
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ from ..core.camera import Camera
 from ..core.config import RenderSettings
 from ..scene.types import Scene
 from . import film
-from .integrator import trace
+from .integrator import trace, trace_diff
 
 
 def _grid_geometry(settings: RenderSettings):
@@ -41,11 +47,10 @@ def _ceil_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("settings",))
-def render_chunk(scene: Scene, camera: Camera, settings: RenderSettings,
-                 key: jax.Array) -> jax.Array:
-    """One sample chunk: (npix_pad, 3) float32 radiance sums over
-    `spp_per_chunk` samples per pixel (one reference frame buffer,
+def chunk_sums(scene: Scene, camera: Camera, settings: RenderSettings,
+               key: jax.Array, trace_fn=trace) -> jax.Array:
+    """One sample chunk (traceable body): (npix_pad, 3) float32 radiance sums
+    over `spp_per_chunk` samples per pixel (one reference frame buffer,
     `render.h:94-113`)."""
     h, w, npix, npix_pad, b, nb = _grid_geometry(settings)
 
@@ -69,8 +74,8 @@ def render_chunk(scene: Scene, camera: Camera, settings: RenderSettings,
             u = (c.astype(jnp.float32) + jit2[:, 0]) * inv_w
             v = ((h - 1 - r).astype(jnp.float32) + jit2[:, 1]) * inv_h
             o, d, tm = camera.get_rays(k_cam, u, v)
-            return trace(scene, o, d, tm, k_trace,
-                         max_depth=settings.max_depth, t_min=settings.t_min)
+            return trace_fn(scene, o, d, tm, k_trace,
+                            max_depth=settings.max_depth, t_min=settings.t_min)
 
         out = jax.lax.map(
             wave,
@@ -81,6 +86,43 @@ def render_chunk(scene: Scene, camera: Camera, settings: RenderSettings,
 
     init = jnp.zeros((npix_pad, 3), jnp.float32)
     return jax.lax.fori_loop(0, settings.spp_per_chunk, sample_pass, init)
+
+
+# Back-compat jitted form with the scene as a traced argument (used by tests
+# and anywhere the scene changes per call).  Slower than compile_renderer.
+render_chunk = jax.jit(chunk_sums, static_argnames=("settings",))
+
+
+def compile_renderer(scene: Scene, camera: Camera,
+                     settings: RenderSettings) -> Callable[[jax.Array], jax.Array]:
+    """Scene-specialized forward renderer: key -> (npix_pad, 3) sums.
+
+    The scene/camera are closed over and become XLA constants.
+    """
+
+    @jax.jit
+    def chunk(key):
+        return chunk_sums(scene, camera, settings, key)
+
+    return chunk
+
+
+def compile_param_renderer(scene: Scene, camera: Camera,
+                           settings: RenderSettings):
+    """Differentiable renderer: (params, key) -> (npix_pad, 3) sums.
+
+    Geometry is baked as constants; only the parameter pytree
+    (engine.diff.get_params) is traced — so gradients are available w.r.t.
+    material/texture/emitter parameters at constant-folded speed.
+    """
+    from . import diff
+
+    @jax.jit
+    def chunk(params, key):
+        return chunk_sums(diff.set_params(scene, params), camera, settings, key,
+                          trace_fn=trace_diff)
+
+    return chunk
 
 
 def render_linear(
@@ -111,7 +153,11 @@ def render_linear(
         if state is not None:
             sums, start_chunk = state
 
-    chunk = chunk_fn if chunk_fn is not None else render_chunk
+    if chunk_fn is None:
+        compiled = compile_renderer(scene, camera, settings)
+        chunk = lambda _s, _c, _st, k: compiled(k)
+    else:
+        chunk = chunk_fn
     for c in range(start_chunk, settings.num_chunks):
         t0 = time.perf_counter()
         ck = rng.fold(key, 0x5EED + c)

@@ -292,6 +292,8 @@ class SceneBuilder:
             materials=materials, textures=textures, perlin=perlin, atlas=atlas,
             background=jnp.asarray(self.background, jnp.float32),
             tri_bvh=None, sphere_bvh=None,
+            has_sphere_media=any(s["medium"] for s in self._spheres),
+            has_box_media=any(b["medium"] for b in self._boxes),
         )
 
         n_tris = len(self._tris)

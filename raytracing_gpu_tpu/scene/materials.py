@@ -36,43 +36,42 @@ class ScatterResult(NamedTuple):
     ok: Array           # (N,) bool — False: absorbed / pure emitter
 
 
-def scatter(
+def scatter_direction(
     scene: Scene,
     key: Array,
-    in_dir: Array,   # (N, 3) incoming ray direction
-    p: Array,        # (N, 3) hit point
-    normal: Array,   # (N, 3) shading normal (already faced against the ray)
+    in_dir: Array,      # (N, 3)
+    normal: Array,      # (N, 3) faced against the ray
     front_face: Array,  # (N,) bool
-    u: Array,
-    v: Array,
-    mat_id: Array,   # (N,) int32
-) -> ScatterResult:
+    mat_id: Array,      # (N,) int32
+):
+    """Sample the scattered direction + continuation mask (detached).
+
+    The geometric half of `material::scatter` — direction sampling only, no
+    texture evaluation, so the path-walk phase of the differentiable renderer
+    runs with zero parameter tangents (detached-sampling estimator).
+    """
     mats = scene.materials
     kind = mats.kind[mat_id]
     fuzz = mats.fuzz[mat_id]
     ir = mats.ir[mat_id]
-    tex_color = eval_texture(scene, mats.tex_id[mat_id], u, v, p)
 
     n = in_dir.shape[:-1]
     k_unit, k_sphere, k_iso, k_refl = jax.random.split(key, 4)
-    unit_v = rng.unit_vector(k_unit, n)        # lambertian cosine-ish lobe
-    sphere_v = rng.in_unit_sphere(k_sphere, n)  # metal fuzz
-    iso_v = rng.in_unit_sphere(k_iso, n)        # isotropic phase function
-    u_refl = rng.uniform(k_refl, n)             # dielectric reflect choice
+    unit_v = rng.unit_vector(k_unit, n)
+    sphere_v = rng.in_unit_sphere(k_sphere, n)
+    iso_v = rng.in_unit_sphere(k_iso, n)
+    u_refl = rng.uniform(k_refl, n)
 
-    # --- lambertian (material.h:16-36): normal + random unit vector, with the
-    # degenerate-direction catch.
+    # lambertian (material.h:16-36)
     lam_dir = normal + unit_v
     lam_dir = vec.where(vec.near_zero(lam_dir), normal, lam_dir)
 
-    # --- metal (material.h:39-56): mirror + fuzz * in-sphere; absorbed if the
-    # scattered ray ends up below the surface.
+    # metal (material.h:39-56)
     refl = vec.reflect(vec.unit(in_dir), normal)
     metal_dir = refl + fuzz[..., None] * sphere_v
     metal_ok = vec.dot(metal_dir, normal) > 0.0
 
-    # --- dielectric (material.h:59-104): Snell + total internal reflection +
-    # Schlick, attenuation (1,1,1).
+    # dielectric (material.h:59-104)
     ratio = jnp.where(front_face, 1.0 / ir, ir)
     unit_dir = vec.unit(in_dir)
     cos_theta = jnp.minimum(vec.dot(-unit_dir, normal), 1.0)
@@ -86,27 +85,53 @@ def scatter(
         vec.refract(unit_dir, normal, ratio),
     )
 
-    # --- select by kind ------------------------------------------------------
-    is_lam = kind == LAMBERTIAN
     is_metal = kind == METAL
     is_diel = kind == DIELECTRIC
     is_light = kind == DIFFUSE_LIGHT
     is_iso = kind == ISOTROPIC
 
-    direction = vec.where(is_lam, lam_dir, lam_dir)
-    direction = vec.where(is_metal, metal_dir, direction)
+    direction = vec.where(is_metal, metal_dir, lam_dir)
     direction = vec.where(is_diel, diel_dir, direction)
     direction = vec.where(is_iso, iso_v, direction)
-    # Detached sampling: the sampled direction is treated as a constant by
-    # autodiff; radiance gradients flow through attenuation/emission only.
     direction = jax.lax.stop_gradient(direction)
 
+    ok = jnp.where(is_metal, metal_ok, True) & ~is_light
+    return direction, ok
+
+
+def shade(scene: Scene, mat_id: Array, u: Array, v: Array, p: Array):
+    """Differentiable shading half: (attenuation, emitted) per hit.
+
+    All texture/material parameter gradients flow through here — the texture
+    table colors, the image atlas, and (via the emission texture) the emitter
+    radiance (`material::scatter` attenuation + `material::emitted`).
+    """
+    mats = scene.materials
+    kind = mats.kind[mat_id]
+    tex_color = eval_texture(scene, mats.tex_id[mat_id], u, v, p)
+    is_diel = kind == DIELECTRIC
+    is_light = kind == DIFFUSE_LIGHT
     white = jnp.ones_like(tex_color)
     attenuation = jnp.where(is_diel[..., None], white, tex_color)
-
     emitted = jnp.where(is_light[..., None], tex_color, jnp.zeros_like(tex_color))
+    return attenuation, emitted
 
-    ok = jnp.where(is_metal, metal_ok, True) & ~is_light
+
+def scatter(
+    scene: Scene,
+    key: Array,
+    in_dir: Array,   # (N, 3) incoming ray direction
+    p: Array,        # (N, 3) hit point
+    normal: Array,   # (N, 3) shading normal (already faced against the ray)
+    front_face: Array,  # (N,) bool
+    u: Array,
+    v: Array,
+    mat_id: Array,   # (N,) int32
+) -> ScatterResult:
+    """Full `material::scatter` + `emitted` (`material.h:16-138`): direction
+    sampling (detached) composed with differentiable shading."""
+    direction, ok = scatter_direction(scene, key, in_dir, normal, front_face, mat_id)
+    attenuation, emitted = shade(scene, mat_id, u, v, p)
     return ScatterResult(direction, attenuation, emitted, ok)
 
 

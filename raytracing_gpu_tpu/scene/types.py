@@ -210,3 +210,8 @@ class Scene:
     background: Array  # (3,) miss color (reference `scenes.h:69-78`)
     tri_bvh: Optional[Any] = None  # accel.bvh.FlatBVH over triangles
     sphere_bvh: Optional[Any] = None  # accel.bvh.FlatBVH over spheres
+    # Static structure flags (not traced; selecting them specializes the
+    # compiled program): whether any constant-medium boundaries exist, so
+    # media-free scenes skip the per-bounce free-path sampling entirely.
+    has_sphere_media: bool = struct.field(pytree_node=False, default=True)
+    has_box_media: bool = struct.field(pytree_node=False, default=True)

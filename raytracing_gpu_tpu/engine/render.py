@@ -93,34 +93,68 @@ def chunk_sums(scene: Scene, camera: Camera, settings: RenderSettings,
 render_chunk = jax.jit(chunk_sums, static_argnames=("settings",))
 
 
-def compile_renderer(scene: Scene, camera: Camera,
-                     settings: RenderSettings) -> Callable[[jax.Array], jax.Array]:
+def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
+                     engine: str = "auto") -> Callable[[jax.Array], jax.Array]:
     """Scene-specialized forward renderer: key -> (npix_pad, 3) sums.
 
     The scene/camera are closed over and become XLA constants.
+
+    engine: "auto" uses the Pallas megakernel (ops/pallas_trace.py) when the
+    scene's feature set is covered, else the XLA wavefront; "xla"/"pallas"
+    force one.
     """
+    trace_fn = trace
+    if engine in ("auto", "pallas"):
+        from ..ops import pallas_trace
+
+        # "auto" only picks pallas on real TPU (interpret mode is for tests)
+        on_tpu = jax.default_backend() == "tpu"
+        if pallas_trace.supports_scene(scene) and (on_tpu or engine == "pallas"):
+            trace_fn = pallas_trace.PallasTracer(scene)
+        elif engine == "pallas":
+            raise ValueError("scene not supported by the pallas megakernel")
 
     @jax.jit
     def chunk(key):
-        return chunk_sums(scene, camera, settings, key)
+        return chunk_sums(scene, camera, settings, key, trace_fn=trace_fn)
 
     return chunk
 
 
 def compile_param_renderer(scene: Scene, camera: Camera,
-                           settings: RenderSettings):
+                           settings: RenderSettings, engine: str = "auto"):
     """Differentiable renderer: (params, key) -> (npix_pad, 3) sums.
 
     Geometry is baked as constants; only the parameter pytree
     (engine.diff.get_params) is traced — so gradients are available w.r.t.
     material/texture/emitter parameters at constant-folded speed.
+
+    engine "auto"/"pallas": on TPU, phase 1 (the detached path walk) runs as
+    the Pallas megakernel's record mode and only phase 2 (shade/accumulate)
+    is XLA autodiff — the backward pass never sees the walk at all.
     """
     from . import diff
+    from .integrator import shade_radiance
+
+    trace_fn = trace_diff
+    if engine in ("auto", "pallas"):
+        from ..ops import pallas_trace
+
+        on_tpu = jax.default_backend() == "tpu"
+        if pallas_trace.supports_scene(scene) and (on_tpu or engine == "pallas"):
+            tracer = pallas_trace.PallasTracer(scene)
+
+            def trace_fn(scene_p, o, d, tm, k, max_depth, t_min):
+                data = tracer.walk(o, d, tm, k, max_depth=max_depth,
+                                   t_min=t_min)
+                return shade_radiance(scene_p, data)
+        elif engine == "pallas":
+            raise ValueError("scene not supported by the pallas megakernel")
 
     @jax.jit
     def chunk(params, key):
         return chunk_sums(diff.set_params(scene, params), camera, settings, key,
-                          trace_fn=trace_diff)
+                          trace_fn=trace_fn)
 
     return chunk
 

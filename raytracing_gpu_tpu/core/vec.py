@@ -8,6 +8,7 @@ maps onto the VPU.  Aliases `point3`/`color` from the reference are just arrays.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -71,3 +72,32 @@ def refract(uv: Array, n: Array, etai_over_etat: Array) -> Array:
 def where(mask: Array, a: Array, b: Array) -> Array:
     """Select (..., 3) vectors by a (...,) mask."""
     return jnp.where(mask[..., None], a, b)
+
+
+@jax.custom_vjp
+def table_gather(table: Array, idx: Array) -> Array:
+    """`table[idx]` for small parameter tables, with a TPU-friendly VJP.
+
+    Forward is a plain gather.  The backward of a gather is a scatter-add,
+    which XLA serializes on TPU; for a small table (texture/material params,
+    tens of rows) the transpose is instead computed as `one_hot(idx).T @ ct`
+    — a single MXU matmul over the batch.  Used by the differentiable
+    shading path (scene/textures.py) where this scatter dominated the
+    backward pass.
+    """
+    return table[idx]
+
+
+def _table_gather_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _table_gather_bwd(res, ct):
+    idx, n_rows = res
+    onehot = jax.nn.one_hot(idx, n_rows, dtype=ct.dtype)  # (N, T)
+    # (T, N) @ (N, C) -> (T, C) on the MXU; no scatter.
+    d_table = onehot.T @ ct
+    return d_table, None
+
+
+table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)

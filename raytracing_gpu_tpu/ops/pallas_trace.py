@@ -208,20 +208,26 @@ def _shade_of(prim, px, py, pz, shape):
 
 
 def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
-                 n_sphere_rows: int, record: bool = False):
+                 n_sphere_rows: int, record: bool = False,
+                 need_p: bool = True):
     """Build the kernel function with the scene baked in.
 
     record=False: radiance outputs (forward rendering).
     record=True: per-bounce BounceData outputs (detached walk for the
     differentiable split — phase 2 shading stays in XLA, engine/integrator).
+    The hit/cont/miss masks are packed into bits 16-18 of the mat_id output
+    (one i32 store instead of four); hit points are emitted only when
+    `need_p` (a scene whose used textures are all solid never reads them —
+    skipping px/py/pz cuts the record HBM traffic in half).
     """
 
     def kernel(seed_ref, sph_ref, ox_ref, oy_ref, oz_ref,
                dx_ref, dy_ref, dz_ref, tm_ref,
                *out_refs):
-        if record:
-            (mid_ref, px_ref, py_ref, pz_ref,
-             hit_ref, cont_ref, miss_ref) = out_refs
+        if record and need_p:
+            mid_ref, px_ref, py_ref, pz_ref = out_refs
+        elif record:
+            (mid_ref,) = out_refs
         else:
             lr_ref, lg_ref, lb_ref = out_refs
         shape = ox_ref.shape  # (SUB, 128)
@@ -234,7 +240,10 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                                      * jnp.uint32(0x85EBCA6B)))
 
         def bounce(b, state):
-            (ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, lr, lg, lb, alive) = state
+            # `alive` is carried as a f32 mask: Mosaic cannot round-trip i1
+            # vectors through the fori_loop carry (i8->i1 trunc unsupported).
+            (ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, lr, lg, lb, alive_f) = state
+            alive = alive_f > 0.5
 
             # ---------------- closest hit over baked primitives ------------
             t_best = jnp.full(shape, BIG)
@@ -504,7 +513,9 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             newdy = jnp.where(is_iso, svy, newdy)
             newdz = jnp.where(is_iso, svz, newdz)
 
-            ok_mask = jnp.where(is_metal, metal_ok, True) & ~is_light
+            # (~is_metal | metal_ok): select over i1 vectors is not legal in
+            # Mosaic (it would round-trip through i8), so use boolean algebra
+            ok_mask = (~is_metal | metal_ok) & ~is_light
             cont = hit & ok_mask
 
             # throughput *= attenuation (dielectric attenuates by 1)
@@ -516,27 +527,29 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             py = oy + t_best * dy
             pz = oz + t_best * dz
             if record:
-                mid_ref[pl.ds(b, 1)] = mid[None]
-                px_ref[pl.ds(b, 1)] = px[None]
-                py_ref[pl.ds(b, 1)] = py[None]
-                pz_ref[pl.ds(b, 1)] = pz[None]
-                hit_ref[pl.ds(b, 1)] = hit[None].astype(jnp.int32)
-                cont_ref[pl.ds(b, 1)] = cont[None].astype(jnp.int32)
-                miss_ref[pl.ds(b, 1)] = miss[None].astype(jnp.int32)
+                packed = (mid
+                          | (hit.astype(jnp.int32) << 16)
+                          | (cont.astype(jnp.int32) << 17)
+                          | (miss.astype(jnp.int32) << 18))
+                mid_ref[pl.ds(b, 1)] = packed[None]
+                if need_p:
+                    px_ref[pl.ds(b, 1)] = px[None]
+                    py_ref[pl.ds(b, 1)] = py[None]
+                    pz_ref[pl.ds(b, 1)] = pz[None]
             ox = jnp.where(hit, px, ox)
             oy = jnp.where(hit, py, oy)
             oz = jnp.where(hit, pz, oz)
             dx = jnp.where(hit, newdx, dx)
             dy = jnp.where(hit, newdy, dy)
             dz = jnp.where(hit, newdz, dz)
-            return (ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, lr, lg, lb, cont)
+            return (ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, lr, lg, lb,
+                    jnp.where(cont, 1.0, 0.0))
 
         ones = jnp.ones(shape)
         zeros = jnp.zeros(shape)
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:], tm_ref[:],
-                 ones, ones, ones, zeros, zeros, zeros,
-                 jnp.ones(shape, bool))
+                 ones, ones, ones, zeros, zeros, zeros, ones)
         state = jax.lax.fori_loop(0, max_depth, bounce, state)
         if not record:
             lr_ref[:] = state[10]
@@ -547,25 +560,26 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 
 
 @functools.partial(jax.jit, static_argnames=("bake_key", "max_depth", "t_min",
-                                             "interpret", "record"))
+                                             "interpret", "record", "need_p"))
 def _run(bake_key, seed, sph_table, ox, oy, oz, dx, dy, dz, tm,
-         max_depth, t_min, interpret, record=False):
+         max_depth, t_min, interpret, record=False, need_p=True):
     bake = _BAKES[bake_key]
     rows = ox.shape[0]
     grid = (rows // SUB,)
     n_s = sph_table.shape[0]
-    kernel = _make_kernel(bake, max_depth, t_min, n_s, record=record)
+    kernel = _make_kernel(bake, max_depth, t_min, n_s, record=record,
+                          need_p=need_p)
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     if record:
         rec_spec = pl.BlockSpec((max_depth, SUB, LANES), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
         rec_shape = (max_depth, rows, LANES)
-        out_specs = [rec_spec] * 7
+        n_out = 4 if need_p else 1
+        out_specs = [rec_spec] * n_out
         out_shape = (
             [jax.ShapeDtypeStruct(rec_shape, jnp.int32)]
-            + [jax.ShapeDtypeStruct(rec_shape, jnp.float32)] * 3
-            + [jax.ShapeDtypeStruct(rec_shape, jnp.int32)] * 3
+            + [jax.ShapeDtypeStruct(rec_shape, jnp.float32)] * (n_out - 1)
         )
     else:
         out_specs = [ray_spec, ray_spec, ray_spec]
@@ -603,6 +617,12 @@ class PallasTracer:
         self.sph_table = jnp.asarray(sph if len(sph) else
                                      np.zeros((1, 24), np.float32))
         self.n_rows = len(sph)
+        # phase-2 shading reads hit points only for position-dependent
+        # textures (checker; solid never does) — see walk()
+        host = jax.device_get(scene)
+        kinds = np.asarray(host.textures.kind)
+        used = np.unique(np.asarray(host.materials.tex_id))
+        self.need_p = bool(np.any(kinds[used] != st.TEX_SOLID))
 
     def _tile_args(self, o, d, tm, key):
         """Pad the ray batch to whole (SUB, LANES) tiles and split to SoA."""
@@ -639,15 +659,20 @@ class PallasTracer:
 
         interpret = jax.default_backend() != "tpu"
         n, seed, args = self._tile_args(o, d, tm, key)
-        mid, px, py, pz, hit, cont, miss = _run(
+        out = _run(
             self.key, seed, self.sph_table, *args,
             max_depth=max_depth, t_min=t_min, interpret=interpret, record=True,
+            need_p=self.need_p,
         )
         flat = lambda a: a.reshape(max_depth, -1)[:, :n]
-        p = jnp.stack([flat(px), flat(py), flat(pz)], axis=-1)
+        packed = flat(out[0])
         zeros = jnp.zeros((max_depth, n), jnp.float32)
+        if self.need_p:
+            p = jnp.stack([flat(out[1]), flat(out[2]), flat(out[3])], axis=-1)
+        else:
+            p = jnp.zeros((max_depth, n, 3), jnp.float32)
         return BounceData(
-            mat_id=flat(mid), u=zeros, v=zeros, p=p,
-            hit=flat(hit).astype(bool), cont=flat(cont).astype(bool),
-            miss=flat(miss).astype(bool),
+            mat_id=packed & 0xFFFF, u=zeros, v=zeros, p=p,
+            hit=(packed & (1 << 16)) != 0, cont=(packed & (1 << 17)) != 0,
+            miss=(packed & (1 << 18)) != 0,
         )

@@ -99,6 +99,54 @@ def scatter_direction(
     return direction, ok
 
 
+def _fast_shade(scene: Scene, mat_id: Array, p: Array):
+    """Matmul shading fast path, or None when not applicable.
+
+    When the scene's integer structure (material kinds, texture bindings) is
+    concrete — always true under `compile_renderer`/`compile_param_renderer`,
+    which bake the scene — and every bound texture is solid or checker, the
+    whole per-hit shade collapses to ONE (N, M) one-hot matmul against a
+    per-material feature table [c1, c2, scale, is_checker, is_diel,
+    is_light].  Forward replaces 5+ serialized TPU gathers per bounce with an
+    MXU matmul; backward transposes to a matmul as well (no scatter).  The
+    table itself is built from the differentiable texture params with static
+    indices, so c1/c2 gradients flow through unchanged.
+    """
+    mats, tx = scene.materials, scene.textures
+    if any(isinstance(a, jax.core.Tracer)
+           for a in (mats.kind, mats.tex_id, tx.kind)):
+        return None
+    import numpy as np
+    from .types import TEX_CHECKER, TEX_SOLID
+
+    mkind = np.asarray(mats.kind)
+    mtex = np.asarray(mats.tex_id)
+    tkind = np.asarray(tx.kind)[mtex]
+    if not np.all(np.isin(tkind, (TEX_SOLID, TEX_CHECKER))):
+        return None
+
+    c1m = tx.c1[mtex]                      # (M, 3) static-index gather
+    c2m = tx.c2[mtex]
+    sclm = tx.scale[mtex][:, None]
+    flags = jnp.asarray(np.stack([
+        (tkind == TEX_CHECKER), (mkind == DIELECTRIC),
+        (mkind == DIFFUSE_LIGHT),
+    ], axis=1).astype(np.float32))         # (M, 3)
+    table = jnp.concatenate([c1m, c2m, sclm, flags], axis=1)  # (M, 10)
+
+    onehot = jax.nn.one_hot(mat_id, table.shape[0], dtype=table.dtype)
+    feats = onehot @ table                 # (N, 10) — the only per-hit lookup
+    c1, c2, scale = feats[..., 0:3], feats[..., 3:6], feats[..., 6]
+    is_chk, is_diel, is_light = feats[..., 7:8], feats[..., 8:9], feats[..., 9:10]
+
+    sines = (jnp.sin(scale * p[..., 0]) * jnp.sin(scale * p[..., 1])
+             * jnp.sin(scale * p[..., 2]))
+    albedo = jnp.where((is_chk > 0.5) & (sines < 0.0)[..., None], c2, c1)
+    attenuation = jnp.where(is_diel > 0.5, 1.0, albedo)
+    emitted = jnp.where(is_light > 0.5, albedo, 0.0)
+    return attenuation, emitted
+
+
 def shade(scene: Scene, mat_id: Array, u: Array, v: Array, p: Array):
     """Differentiable shading half: (attenuation, emitted) per hit.
 
@@ -106,6 +154,9 @@ def shade(scene: Scene, mat_id: Array, u: Array, v: Array, p: Array):
     table colors, the image atlas, and (via the emission texture) the emitter
     radiance (`material::scatter` attenuation + `material::emitted`).
     """
+    fast = _fast_shade(scene, mat_id, p)
+    if fast is not None:
+        return fast
     mats = scene.materials
     kind = mats.kind[mat_id]
     tex_color = eval_texture(scene, mats.tex_id[mat_id], u, v, p)

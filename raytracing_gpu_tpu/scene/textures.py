@@ -10,8 +10,11 @@ and keeps the expression fully differentiable w.r.t. the color/atlas params.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
+from jax import core as jax_core
 
+from ..core.vec import table_gather
 from . import perlin as perlin_mod
 from .types import (
     Scene,
@@ -24,6 +27,20 @@ from .types import (
 )
 
 
+def _present_kinds(kind_table) -> set:
+    """Texture kinds that can occur, or all of them when `kind` is traced.
+
+    When the scene is baked into the compiled program (`compile_renderer` /
+    `compile_param_renderer`), the integer kind table is a concrete constant,
+    so the unused texture families prune at trace time — a solid-color scene
+    never evaluates 7-octave perlin or the image atlas (huge fwd+bwd saving).
+    """
+    if isinstance(kind_table, jax_core.Tracer):
+        return {TEX_SOLID, TEX_CHECKER, TEX_NOISE, TEX_TURB, TEX_MARBLE,
+                TEX_IMAGE}
+    return {int(k) for k in np.unique(np.asarray(kind_table))}
+
+
 def eval_texture(scene: Scene, tex_id: Array, u: Array, v: Array, p: Array) -> Array:
     """Evaluate texture color for each hit.
 
@@ -31,44 +48,53 @@ def eval_texture(scene: Scene, tex_id: Array, u: Array, v: Array, p: Array) -> A
     Returns (N, 3) linear rgb.
     """
     tx = scene.textures
+    present = _present_kinds(tx.kind)
     kind = tx.kind[tex_id]          # (N,)
-    c1 = tx.c1[tex_id]              # (N, 3)
-    c2 = tx.c2[tex_id]              # (N, 3)
-    scale = tx.scale[tex_id]        # (N,)
-    image_id = tx.image_id[tex_id]  # (N,)
+    # c1/c2/scale lookups use the matmul-backward gather: the VJP into the
+    # (small) parameter tables is a one-hot matmul on the MXU instead of a
+    # serialized scatter-add (the dominant bwd cost on TPU otherwise).
+    c1 = table_gather(tx.c1, tex_id)              # (N, 3)
+    c2 = table_gather(tx.c2, tex_id)              # (N, 3)
+    scale = table_gather(tx.scale[:, None], tex_id)[:, 0]  # (N,)
 
     # solid_color (reference texture.h:12-23)
-    solid = c1
+    out = jnp.where((kind == TEX_SOLID)[..., None], c1, 0.0)
 
-    # checker_texture: sign of product of sines (reference texture.h:26-46);
-    # the reference hardcodes frequency 10 — here it is the scale param.
-    sines = (
-        jnp.sin(scale * p[..., 0])
-        * jnp.sin(scale * p[..., 1])
-        * jnp.sin(scale * p[..., 2])
-    )
-    checker = jnp.where((sines < 0.0)[..., None], c2, c1)
+    if TEX_CHECKER in present:
+        # checker_texture: sign of product of sines (reference
+        # texture.h:26-46); the reference hardcodes frequency 10 — here it
+        # is the scale param.
+        sines = (
+            jnp.sin(scale * p[..., 0])
+            * jnp.sin(scale * p[..., 1])
+            * jnp.sin(scale * p[..., 2])
+        )
+        checker = jnp.where((sines < 0.0)[..., None], c2, c1)
+        out = jnp.where((kind == TEX_CHECKER)[..., None], checker, out)
 
-    # perlin family — one shared table set
-    noise_val = perlin_mod.noise(scene.perlin, scale[..., None] * p)
-    turb_val = perlin_mod.turb(scene.perlin, scale[..., None] * p, depth=7)
-    # noise_texture (texture.h:49-62): gray 0.5*(1+noise)
-    noise_tex = 0.5 * (1.0 + noise_val)[..., None] * jnp.ones_like(c1)
-    # turbulent_texture (texture.h:65-77)
-    turb_tex = turb_val[..., None] * jnp.ones_like(c1)
-    # marble_texture (texture.h:80-91): sin(scale*z + 10*turb)
-    marble = (0.5 * (1.0 + jnp.sin(scale * p[..., 2] + 10.0 * turb_val)))[
-        ..., None
-    ] * jnp.ones_like(c1)
+    if present & {TEX_NOISE, TEX_TURB, TEX_MARBLE}:
+        # perlin family — one shared table set
+        turb_val = perlin_mod.turb(scene.perlin, scale[..., None] * p, depth=7)
+        ones = jnp.ones_like(c1)
+        if TEX_NOISE in present:
+            noise_val = perlin_mod.noise(scene.perlin, scale[..., None] * p)
+            # noise_texture (texture.h:49-62): gray 0.5*(1+noise)
+            noise_tex = 0.5 * (1.0 + noise_val)[..., None] * ones
+            out = jnp.where((kind == TEX_NOISE)[..., None], noise_tex, out)
+        if TEX_TURB in present:
+            # turbulent_texture (texture.h:65-77)
+            out = jnp.where((kind == TEX_TURB)[..., None],
+                            turb_val[..., None] * ones, out)
+        if TEX_MARBLE in present:
+            # marble_texture (texture.h:80-91): sin(scale*z + 10*turb)
+            marble = (0.5 * (1.0 + jnp.sin(scale * p[..., 2] + 10.0 * turb_val))
+                      )[..., None] * ones
+            out = jnp.where((kind == TEX_MARBLE)[..., None], marble, out)
 
-    image = _eval_image(scene, image_id, u, v)
-
-    out = jnp.where((kind == TEX_SOLID)[..., None], solid, 0.0)
-    out = jnp.where((kind == TEX_CHECKER)[..., None], checker, out)
-    out = jnp.where((kind == TEX_NOISE)[..., None], noise_tex, out)
-    out = jnp.where((kind == TEX_TURB)[..., None], turb_tex, out)
-    out = jnp.where((kind == TEX_MARBLE)[..., None], marble, out)
-    out = jnp.where((kind == TEX_IMAGE)[..., None], image, out)
+    if TEX_IMAGE in present:
+        image_id = tx.image_id[tex_id]  # (N,)
+        image = _eval_image(scene, image_id, u, v)
+        out = jnp.where((kind == TEX_IMAGE)[..., None], image, out)
     return out
 
 

@@ -108,9 +108,20 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
         from ..ops import pallas_trace
 
         # "auto" only picks pallas on real TPU (interpret mode is for tests)
-        on_tpu = jax.default_backend() == "tpu"
-        if pallas_trace.supports_scene(scene) and (on_tpu or engine == "pallas"):
+        on = jax.default_backend() == "tpu" or engine == "pallas"
+        if on and pallas_trace.supports_forward(scene):
             trace_fn = pallas_trace.PallasTracer(scene)
+        elif on and pallas_trace.supports_scene(scene):
+            # image-textured scenes: kernel walk + XLA shade (the atlas
+            # lives in XLA; the walk records mat_id/p/uv per bounce)
+            from .integrator import shade_radiance
+
+            tracer = pallas_trace.PallasTracer(scene)
+
+            def trace_fn(scene_p, o, d, tm, k, max_depth, t_min):
+                data = tracer.walk(o, d, tm, k, max_depth=max_depth,
+                                   t_min=t_min)
+                return shade_radiance(scene_p, data)
         elif engine == "pallas":
             raise ValueError("scene not supported by the pallas megakernel")
 

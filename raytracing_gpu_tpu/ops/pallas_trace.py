@@ -17,10 +17,14 @@ for a vector core:
   HBM traffic between bounces.
 
 Coverage: spheres (static + moving), axis-aligned rects, boxes (with
-rotate_y/translate instance transforms), lambertian/metal/dielectric/
-diffuse_light/isotropic materials, solid + checker textures, sky/black
-backgrounds.  Scenes using constant media, triangles, or perlin/image
-textures fall back to the XLA path (`supports_scene` reports which).
+rotate_y/translate instance transforms), triangle meshes (packet traversal
+of a threaded flat BVH: one scalar node cursor per ray tile, vector slab
+tests, any()-reductions to descend — no vector gathers, which Mosaic lacks),
+lambertian/metal/dielectric/diffuse_light/isotropic materials, solid +
+checker textures in-kernel, image textures on rects/triangles via record
+mode (the walk emits uv; XLA shades from the atlas), sky/black backgrounds.
+Scenes using constant media or perlin textures fall back to the XLA path
+(`supports_scene`/`supports_forward` report which).
 
 Used by `engine.render.compile_renderer(engine="pallas")` for forward
 rendering; the differentiable path keeps the XLA phase-2 shade (gradients
@@ -56,23 +60,66 @@ class SceneBake(NamedTuple):
     rects: list            # dicts of python floats
     boxes: list
     sphere_table: np.ndarray  # (S, 24) float32 denormalized sphere rows
+    tri_table: np.ndarray     # (T, 40) float32 denormalized triangle rows
+    tri_nodes: np.ndarray     # (M, 6) float32 BVH node bounds (min, max)
+    tri_links: np.ndarray     # (M, 2) int32 threaded (hit, miss) links
+    tri_leaf: np.ndarray      # (M, K) int32 leaf primitive ids (-1 pad)
     background: tuple
     sky: bool
 
 
+# triangle row column layout (see _bake_triangles)
+_TRI_V0, _TRI_E1, _TRI_E2 = 0, 3, 6
+_TRI_N0, _TRI_N1, _TRI_N2 = 9, 12, 15
+_TRI_UV0, _TRI_UV1, _TRI_UV2 = 18, 20, 22
+_TRI_KIND, _TRI_FUZZ, _TRI_IR, _TRI_MAT = 24, 25, 26, 27
+_TRI_C1, _TRI_C2, _TRI_SCALE, _TRI_CHECK = 28, 31, 34, 35
+_TRI_COLS = 40
+
+
+def _used_tex_kinds_by_class(scene) -> dict:
+    """{prim class: set of texture kinds bound to its active materials}."""
+    out = {}
+    tex_of_mat = np.asarray(scene.materials.tex_id)
+    tex_kind = np.asarray(scene.textures.kind)
+    for name, tbl in (("sphere", scene.spheres), ("rect", scene.rects),
+                      ("box", scene.boxes), ("tri", scene.triangles)):
+        act = np.asarray(tbl.active)
+        mats = np.asarray(tbl.mat_id)[act]
+        out[name] = {int(k) for k in np.unique(tex_kind[tex_of_mat[mats]])} \
+            if mats.size else set()
+    return out
+
+
 def supports_scene(scene: st.Scene) -> bool:
-    """True when the kernel covers this scene's feature set."""
+    """True when the megakernel covers this scene's feature set in WALK
+    (record) mode — the differentiable path and the two-phase forward path.
+
+    Covered: spheres/rects/boxes/triangle-BVH geometry; solid + checker
+    textures everywhere; image textures on rects and triangles (their uv is
+    algebraic — sphere uv needs atan2/acos, which Mosaic does not lower).
+    Not covered: constant media, perlin-family textures.
+    """
     if scene.has_sphere_media or scene.has_box_media:
         return False
     scene = jax.device_get(scene)
-    if bool(np.asarray(scene.triangles.active).any()):
+    by_class = _used_tex_kinds_by_class(scene)
+    flat_ok = {st.TEX_SOLID, st.TEX_CHECKER}
+    uv_ok = flat_ok | {st.TEX_IMAGE}
+    return (by_class["sphere"] <= flat_ok and by_class["box"] <= flat_ok
+            and by_class["rect"] <= uv_ok and by_class["tri"] <= uv_ok)
+
+
+def supports_forward(scene: st.Scene) -> bool:
+    """True when the kernel can additionally SHADE in-kernel (pure forward
+    radiance mode): everything in `supports_scene` minus image textures,
+    whose atlas lives in XLA (walk + phase-2 shade covers those)."""
+    if not supports_scene(scene):
         return False
-    # all referenced textures must be solid or checker
-    kinds = np.asarray(scene.textures.kind)
-    used = np.unique(np.asarray(scene.materials.tex_id))
-    if not np.all(np.isin(kinds[used], [st.TEX_SOLID, st.TEX_CHECKER])):
-        return False
-    return True
+    scene = jax.device_get(scene)
+    by_class = _used_tex_kinds_by_class(scene)
+    flat_ok = {st.TEX_SOLID, st.TEX_CHECKER}
+    return all(k <= flat_ok for k in by_class.values())
 
 
 def _mat_shading(scene, mat_id: int):
@@ -142,9 +189,91 @@ def bake_scene(scene: st.Scene) -> SceneBake:
         ])
     table = (np.asarray(rows, np.float32) if rows
              else np.zeros((0, 24), np.float32))
+    tri_table, tri_nodes, tri_links, tri_leaf = _bake_triangles(scene)
     bg = tuple(float(x) for x in np.asarray(scene.background))
     return SceneBake(rects=rects, boxes=boxes, sphere_table=table,
+                     tri_table=tri_table, tri_nodes=tri_nodes,
+                     tri_links=tri_links, tri_leaf=tri_leaf,
                      background=bg, sky=bg != (0.0, 0.0, 0.0))
+
+
+def _bake_triangles(scene):
+    """Denormalized triangle rows + flat threaded BVH arrays (host numpy).
+
+    Row layout (40 f32): v0 e1 e2 | n0 n1 n2 (face normal replicated when no
+    vertex normals — interpolation is then the constant) | uv0 uv1 uv2 |
+    kind fuzz ir mat | c1 c2 scale checker | pad.  Prim ids in the BVH leaves
+    index this table directly (same order as scene.triangles).
+    """
+    tr = scene.triangles
+    act = np.asarray(tr.active)
+    n_all = act.shape[0]
+    if not act.any():
+        # 1-row dummies; the kernel skips the walk entirely when the tracer
+        # reports n_tri_nodes == 0
+        return (np.zeros((0, _TRI_COLS), np.float32).reshape(0, _TRI_COLS),
+                np.zeros((0, 6), np.float32),
+                np.zeros((0, 2), np.int32), np.full((0, 1), -1, np.int32))
+
+    rows = np.zeros((n_all, _TRI_COLS), np.float32)
+    v0 = np.asarray(tr.v0, np.float32)
+    e1 = np.asarray(tr.e1, np.float32)
+    e2 = np.asarray(tr.e2, np.float32)
+    rows[:, _TRI_V0:_TRI_V0 + 3] = v0
+    rows[:, _TRI_E1:_TRI_E1 + 3] = e1
+    rows[:, _TRI_E2:_TRI_E2 + 3] = e2
+    has_vn = np.asarray(tr.has_vn)[:, None]
+    # reference face-normal order is cross(e2, e1) (triangle.h:34-41 via
+    # engine.intersect.tri_record); set_face_normal later flips it anyway
+    face_n = np.cross(e2, e1).astype(np.float32)
+    for col, nn in ((_TRI_N0, tr.n0), (_TRI_N1, tr.n1), (_TRI_N2, tr.n2)):
+        rows[:, col:col + 3] = np.where(has_vn, np.asarray(nn, np.float32),
+                                        face_n)
+    for col, uv in ((_TRI_UV0, tr.uv0), (_TRI_UV1, tr.uv1), (_TRI_UV2, tr.uv2)):
+        rows[:, col:col + 2] = np.asarray(uv, np.float32)
+    mat_ids = np.asarray(tr.mat_id)
+    for i in range(n_all):
+        if not act[i]:
+            continue
+        sh = _mat_shading(scene, int(mat_ids[i]))
+        rows[i, _TRI_KIND] = sh["kind"]
+        rows[i, _TRI_FUZZ] = sh["fuzz"]
+        rows[i, _TRI_IR] = sh["ir"]
+        rows[i, _TRI_MAT] = sh["mat"]
+        rows[i, _TRI_C1:_TRI_C1 + 3] = sh["c1"]
+        rows[i, _TRI_C2:_TRI_C2 + 3] = sh["c2"]
+        rows[i, _TRI_SCALE] = sh["scale"]
+        rows[i, _TRI_CHECK] = 1.0 if sh["checker"] else 0.0
+
+    bvh = scene.tri_bvh
+    if bvh is None:
+        # tiny scenes skip the builder's BVH threshold — build one here so
+        # the kernel has a single traversal path
+        from ..accel import bvh as bvh_mod
+
+        v1 = v0 + e1
+        v2 = v0 + e2
+        bmin = np.minimum(np.minimum(v0, v1), v2)
+        bmax = np.maximum(np.maximum(v0, v1), v2)
+        flat = (bmax - bmin) < 1e-6
+        bmin = np.where(flat, bmin - bvh_mod.BBOX_PAD, bmin)
+        bmax = np.where(flat, bmax + bvh_mod.BBOX_PAD, bmax)
+        # inactive rows get their real bounds too (never hit: masked by id
+        # list below being built only over active prims)
+        keep = np.nonzero(act)[0].astype(np.int32)
+        bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=4)
+        remap = keep  # leaf ids index the "keep" subset
+        leaf = np.asarray(bvh.leaf_prims)
+        leaf = np.where(leaf >= 0, remap[np.clip(leaf, 0, len(keep) - 1)], -1)
+    else:
+        leaf = np.asarray(bvh.leaf_prims)
+
+    nodes = np.concatenate(
+        [np.asarray(bvh.node_min, np.float32),
+         np.asarray(bvh.node_max, np.float32)], axis=1)  # (M, 6)
+    links = np.stack([np.asarray(bvh.hit_link, np.int32),
+                      np.asarray(bvh.miss_link, np.int32)], axis=1)  # (M, 2)
+    return rows, nodes, links, np.asarray(leaf, np.int32)
 
 
 # --------------------------------------------------------------------------
@@ -208,8 +337,9 @@ def _shade_of(prim, px, py, pz, shape):
 
 
 def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
-                 n_sphere_rows: int, record: bool = False,
-                 need_p: bool = True):
+                 n_sphere_rows: int, n_tri_nodes: int, leaf_k: int,
+                 record: bool = False, need_p: bool = True,
+                 need_uv: bool = False):
     """Build the kernel function with the scene baked in.
 
     record=False: radiance outputs (forward rendering).
@@ -218,16 +348,30 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
     The hit/cont/miss masks are packed into bits 16-18 of the mat_id output
     (one i32 store instead of four); hit points are emitted only when
     `need_p` (a scene whose used textures are all solid never reads them —
-    skipping px/py/pz cuts the record HBM traffic in half).
+    skipping px/py/pz cuts the record HBM traffic in half) and uv only when
+    `need_uv` (image textures on rects/triangles).
+
+    Triangles traverse a threaded flat BVH in PACKET form — the TPU-native
+    answer to per-ray pointer chasing (reference `bvh.h:348-436`): the whole
+    (SUB, 128) ray tile walks with ONE scalar node cursor; node bounds are
+    scalar VMEM reads, the slab test is vector math over the tile, and a
+    `jnp.any` reduction decides descend-vs-skip.  Coherent tiles visit only
+    the subtree their rays touch; there are no vector gathers (Mosaic has
+    none).
     """
 
-    def kernel(seed_ref, sph_ref, ox_ref, oy_ref, oz_ref,
+    def kernel(seed_ref, sph_ref, tri_ref, tnode_ref, tlink_ref, tleaf_ref,
+               ox_ref, oy_ref, oz_ref,
                dx_ref, dy_ref, dz_ref, tm_ref,
                *out_refs):
-        if record and need_p:
-            mid_ref, px_ref, py_ref, pz_ref = out_refs
-        elif record:
-            (mid_ref,) = out_refs
+        if record:
+            it = iter(out_refs)
+            mid_ref = next(it)
+            px_ref = py_ref = pz_ref = cu_ref = cv_ref = None
+            if need_p:
+                px_ref, py_ref, pz_ref = next(it), next(it), next(it)
+            if need_uv:
+                cu_ref, cv_ref = next(it), next(it)
         else:
             lr_ref, lg_ref, lb_ref = out_refs
         shape = ox_ref.shape  # (SUB, 128)
@@ -246,20 +390,19 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             alive = alive_f > 0.5
 
             # ---------------- closest hit over baked primitives ------------
-            t_best = jnp.full(shape, BIG)
-            nx = jnp.zeros(shape)
-            ny = jnp.zeros(shape)
-            nz = jnp.zeros(shape)
-            kind = jnp.zeros(shape, jnp.int32)
-            mid = jnp.zeros(shape, jnp.int32)
-            ar = jnp.zeros(shape)
-            ag = jnp.zeros(shape)
-            ab = jnp.zeros(shape)
-            fuzz = jnp.zeros(shape)
-            ir_v = jnp.ones(shape)
+            zeros_v = jnp.zeros(shape)
+            carry = (jnp.full(shape, BIG),              # t_best
+                     zeros_v, zeros_v, zeros_v,          # normal
+                     jnp.zeros(shape, jnp.int32),        # kind
+                     jnp.zeros(shape, jnp.int32),        # mat id
+                     zeros_v, zeros_v, zeros_v,           # albedo carry
+                     zeros_v, jnp.ones(shape),            # fuzz, ir
+                     zeros_v, zeros_v)                    # u, v
 
-            def upd(ok, t, nxx, nyy, nzz, k, m, a3, fz, irr, carry):
-                t_best, nx, ny, nz, kind, mid, ar, ag, ab, fuzz, ir_v = carry
+            def upd(ok, t, nxx, nyy, nzz, k, m, a3, fz, irr, carry,
+                    uu=None, vv=None):
+                (t_best, nx, ny, nz, kind, mid, ar, ag, ab, fuzz, ir_v,
+                 cu, cv) = carry
                 better = ok & (t < t_best)
                 t_best = jnp.where(better, t, t_best)
                 nx = jnp.where(better, nxx, nx)
@@ -272,9 +415,11 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 ab = jnp.where(better, a3[2], ab)
                 fuzz = jnp.where(better, fz, fuzz)
                 ir_v = jnp.where(better, irr, ir_v)
-                return (t_best, nx, ny, nz, kind, mid, ar, ag, ab, fuzz, ir_v)
-
-            carry = (t_best, nx, ny, nz, kind, mid, ar, ag, ab, fuzz, ir_v)
+                if need_uv and uu is not None:
+                    cu = jnp.where(better, uu, cu)
+                    cv = jnp.where(better, vv, cv)
+                return (t_best, nx, ny, nz, kind, mid, ar, ag, ab, fuzz, ir_v,
+                        cu, cv)
 
             # rects (reference aarect.h), unrolled with literal constants
             for prim in bake.rects:
@@ -296,9 +441,16 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 py = oy + t * dy
                 pz = oz + t * dz
                 alb = _shade_of(prim, px, py, pz, shape)
+                if need_uv:
+                    # uv from rect coords (reference aarect.h uv; matches
+                    # engine.intersect._rect_record)
+                    uu = (pa - prim["a0"]) / max(prim["a1"] - prim["a0"], _EPS)
+                    vv = (pb - prim["b0"]) / max(prim["b1"] - prim["b0"], _EPS)
+                else:
+                    uu = vv = None
                 carry = upd(ok, t, jnp.full(shape, n3[0]), jnp.full(shape, n3[1]),
                             jnp.full(shape, n3[2]), prim["kind"], prim["mat"],
-                            alb, prim["fuzz"], prim["ir"], carry)
+                            alb, prim["fuzz"], prim["ir"], carry, uu, vv)
 
             # boxes: world->object transform + slab test (reference box.h +
             # hittable.h instance wrappers, fused)
@@ -420,7 +572,141 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 
                 carry = jax.lax.fori_loop(0, n_sphere_rows, sphere_row, carry)
 
-            (t_best, nx, ny, nz, kind, mid, ar, ag, ab, fuzz, ir_v) = carry
+            # triangles: packet walk over the threaded flat BVH — scalar
+            # node cursor, vector slab test, any() descend decision
+            # (threaded links from accel/bvh.py: hit_link descends / enters
+            # the leaf's successor, miss_link skips the subtree; preorder
+            # links only move forward, so the walk terminates)
+            if n_tri_nodes > 0:
+                def inv_safe(v):
+                    return 1.0 / jnp.where(jnp.abs(v) < _EPS,
+                                           jnp.where(v >= 0, _EPS, -_EPS), v)
+
+                ivx = inv_safe(dx)
+                ivy = inv_safe(dy)
+                ivz = inv_safe(dz)
+
+                def tri_leaf_tests(node, hit_box, carry):
+                    for kk in range(leaf_k):
+                        pid = tleaf_ref[node, kk]          # scalar i32
+                        safe = jnp.maximum(pid, 0)
+                        v0x = tri_ref[safe, _TRI_V0]
+                        v0y = tri_ref[safe, _TRI_V0 + 1]
+                        v0z = tri_ref[safe, _TRI_V0 + 2]
+                        e1x = tri_ref[safe, _TRI_E1]
+                        e1y = tri_ref[safe, _TRI_E1 + 1]
+                        e1z = tri_ref[safe, _TRI_E1 + 2]
+                        e2x = tri_ref[safe, _TRI_E2]
+                        e2y = tri_ref[safe, _TRI_E2 + 1]
+                        e2z = tri_ref[safe, _TRI_E2 + 2]
+                        # Moller-Trumbore (reference triangle.h:120-178)
+                        hx = dy * e2z - dz * e2y
+                        hy = dz * e2x - dx * e2z
+                        hz = dx * e2y - dy * e2x
+                        a = e1x * hx + e1y * hy + e1z * hz
+                        f = 1.0 / jnp.where(jnp.abs(a) < 1e-7, 1e-7, a)
+                        sx = ox - v0x
+                        sy = oy - v0y
+                        sz = oz - v0z
+                        ub = f * (sx * hx + sy * hy + sz * hz)
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        vb = f * (dx * qx + dy * qy + dz * qz)
+                        t = f * (e2x * qx + e2y * qy + e2z * qz)
+                        ok = (hit_box & (pid >= 0)
+                              & (jnp.abs(a) > 1e-7)
+                              & (ub >= 0.0) & (ub <= 1.0)
+                              & (vb >= 0.0) & (ub + vb <= 1.0)
+                              & (t >= t_min))
+                        wb = 1.0 - ub - vb
+                        # vertex-normal interpolation (rows hold the face
+                        # normal replicated when the mesh has none)
+                        nxx = (wb * tri_ref[safe, _TRI_N0]
+                               + ub * tri_ref[safe, _TRI_N1]
+                               + vb * tri_ref[safe, _TRI_N2])
+                        nyy = (wb * tri_ref[safe, _TRI_N0 + 1]
+                               + ub * tri_ref[safe, _TRI_N1 + 1]
+                               + vb * tri_ref[safe, _TRI_N2 + 1])
+                        nzz = (wb * tri_ref[safe, _TRI_N0 + 2]
+                               + ub * tri_ref[safe, _TRI_N1 + 2]
+                               + vb * tri_ref[safe, _TRI_N2 + 2])
+                        if need_uv:
+                            uu = (wb * tri_ref[safe, _TRI_UV0]
+                                  + ub * tri_ref[safe, _TRI_UV1]
+                                  + vb * tri_ref[safe, _TRI_UV2])
+                            vv = (wb * tri_ref[safe, _TRI_UV0 + 1]
+                                  + ub * tri_ref[safe, _TRI_UV1 + 1]
+                                  + vb * tri_ref[safe, _TRI_UV2 + 1])
+                        else:
+                            uu = vv = None
+                        if record:
+                            alb = (zeros_v, zeros_v, zeros_v)
+                        else:
+                            c1r = tri_ref[safe, _TRI_C1]
+                            c1g = tri_ref[safe, _TRI_C1 + 1]
+                            c1b = tri_ref[safe, _TRI_C1 + 2]
+                            c2r = tri_ref[safe, _TRI_C2]
+                            c2g = tri_ref[safe, _TRI_C2 + 1]
+                            c2b = tri_ref[safe, _TRI_C2 + 2]
+                            csc = tri_ref[safe, _TRI_SCALE]
+                            pxh = ox + t * dx
+                            pyh = oy + t * dy
+                            pzh = oz + t * dz
+                            sines = (jnp.sin(csc * pxh) * jnp.sin(csc * pyh)
+                                     * jnp.sin(csc * pzh))
+                            odd = (tri_ref[safe, _TRI_CHECK] > 0.5) & (sines < 0.0)
+                            alb = (jnp.where(odd, c2r, c1r),
+                                   jnp.where(odd, c2g, c1g),
+                                   jnp.where(odd, c2b, c1b))
+                        carry = upd(
+                            ok, t, nxx, nyy, nzz,
+                            tri_ref[safe, _TRI_KIND].astype(jnp.int32),
+                            tri_ref[safe, _TRI_MAT].astype(jnp.int32),
+                            alb, tri_ref[safe, _TRI_FUZZ],
+                            tri_ref[safe, _TRI_IR], carry, uu, vv)
+                    return carry
+
+                def tcond(state):
+                    return state[0] >= 0
+
+                def tbody(state):
+                    node = state[0]
+                    carry = state[1:]
+                    lo_x = tnode_ref[node, 0]
+                    lo_y = tnode_ref[node, 1]
+                    lo_z = tnode_ref[node, 2]
+                    hi_x = tnode_ref[node, 3]
+                    hi_y = tnode_ref[node, 4]
+                    hi_z = tnode_ref[node, 5]
+                    tx0 = (lo_x - ox) * ivx
+                    tx1 = (hi_x - ox) * ivx
+                    ty0 = (lo_y - oy) * ivy
+                    ty1 = (hi_y - oy) * ivy
+                    tz0 = (lo_z - oz) * ivz
+                    tz1 = (hi_z - oz) * ivz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1))
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+                    hit_box = (tf >= jnp.maximum(tn, t_min)) & (tn <= carry[0])
+                    any_hit = jnp.any(hit_box)
+                    is_leaf = tleaf_ref[node, 0] >= 0
+                    carry = jax.lax.cond(
+                        any_hit & is_leaf,
+                        lambda c: tri_leaf_tests(node, hit_box, c),
+                        lambda c: c, carry)
+                    nxt = jnp.where(any_hit, tlink_ref[node, 0],
+                                    tlink_ref[node, 1])
+                    return (nxt, *carry)
+
+                state = jax.lax.while_loop(tcond, tbody, (jnp.int32(0), *carry))
+                carry = state[1:]
+
+            (t_best, nx, ny, nz, kind, mid, ar, ag, ab, fuzz, ir_v,
+             cu, cv) = carry
             hit = alive & (t_best < BIG * 0.5)
             miss = alive & ~(t_best < BIG * 0.5)
 
@@ -536,6 +822,9 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                     px_ref[pl.ds(b, 1)] = px[None]
                     py_ref[pl.ds(b, 1)] = py[None]
                     pz_ref[pl.ds(b, 1)] = pz[None]
+                if need_uv:
+                    cu_ref[pl.ds(b, 1)] = cu[None]
+                    cv_ref[pl.ds(b, 1)] = cv[None]
             ox = jnp.where(hit, px, ox)
             oy = jnp.where(hit, py, oy)
             oz = jnp.where(hit, pz, oz)
@@ -560,22 +849,27 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 
 
 @functools.partial(jax.jit, static_argnames=("bake_key", "max_depth", "t_min",
-                                             "interpret", "record", "need_p"))
-def _run(bake_key, seed, sph_table, ox, oy, oz, dx, dy, dz, tm,
-         max_depth, t_min, interpret, record=False, need_p=True):
+                                             "interpret", "record", "need_p",
+                                             "need_uv", "n_tri_nodes"))
+def _run(bake_key, seed, sph_table, tri_table, tri_nodes, tri_links, tri_leaf,
+         ox, oy, oz, dx, dy, dz, tm,
+         max_depth, t_min, interpret, record=False, need_p=True,
+         need_uv=False, n_tri_nodes=0):
     bake = _BAKES[bake_key]
     rows = ox.shape[0]
     grid = (rows // SUB,)
     n_s = sph_table.shape[0]
-    kernel = _make_kernel(bake, max_depth, t_min, n_s, record=record,
-                          need_p=need_p)
+    kernel = _make_kernel(bake, max_depth, t_min, n_s,
+                          n_tri_nodes=n_tri_nodes,
+                          leaf_k=tri_leaf.shape[1],
+                          record=record, need_p=need_p, need_uv=need_uv)
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     if record:
         rec_spec = pl.BlockSpec((max_depth, SUB, LANES), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
         rec_shape = (max_depth, rows, LANES)
-        n_out = 4 if need_p else 1
+        n_out = 1 + (3 if need_p else 0) + (2 if need_uv else 0)
         out_specs = [rec_spec] * n_out
         out_shape = (
             [jax.ShapeDtypeStruct(rec_shape, jnp.int32)]
@@ -584,19 +878,25 @@ def _run(bake_key, seed, sph_table, ox, oy, oz, dx, dy, dz, tm,
     else:
         out_specs = [ray_spec, ray_spec, ray_spec]
         out_shape = [jax.ShapeDtypeStruct(ox.shape, jnp.float32)] * 3
+
+    def whole(a):
+        return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-            pl.BlockSpec((max(n_s, 1), 24), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            whole(sph_table), whole(tri_table), whole(tri_nodes),
+            whole(tri_links), whole(tri_leaf),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(seed, sph_table, ox, oy, oz, dx, dy, dz, tm)
+    )(seed, sph_table, tri_table, tri_nodes, tri_links, tri_leaf,
+      ox, oy, oz, dx, dy, dz, tm)
     return out
 
 
@@ -617,12 +917,24 @@ class PallasTracer:
         self.sph_table = jnp.asarray(sph if len(sph) else
                                      np.zeros((1, 24), np.float32))
         self.n_rows = len(sph)
+        self.n_tri_nodes = len(self.bake.tri_nodes)
+
+        def pad1(a, cols, dtype):
+            return jnp.asarray(a if len(a) else np.zeros((1, cols), dtype))
+
+        self.tri_table = pad1(self.bake.tri_table, _TRI_COLS, np.float32)
+        self.tri_nodes = pad1(self.bake.tri_nodes, 6, np.float32)
+        self.tri_links = pad1(self.bake.tri_links, 2, np.int32)
+        self.tri_leaf = (jnp.asarray(self.bake.tri_leaf)
+                         if len(self.bake.tri_leaf)
+                         else jnp.full((1, 1), -1, jnp.int32))
         # phase-2 shading reads hit points only for position-dependent
-        # textures (checker; solid never does) — see walk()
+        # textures (checker) and uv only for image textures — see walk()
         host = jax.device_get(scene)
-        kinds = np.asarray(host.textures.kind)
-        used = np.unique(np.asarray(host.materials.tex_id))
-        self.need_p = bool(np.any(kinds[used] != st.TEX_SOLID))
+        by_class = _used_tex_kinds_by_class(host)
+        used_kinds = set().union(*by_class.values())
+        self.need_p = bool(used_kinds & {st.TEX_CHECKER})
+        self.need_uv = bool(used_kinds & {st.TEX_IMAGE})
 
     def _tile_args(self, o, d, tm, key):
         """Pad the ray batch to whole (SUB, LANES) tiles and split to SoA."""
@@ -643,8 +955,10 @@ class PallasTracer:
         the bake is closed over)."""
         interpret = jax.default_backend() != "tpu"
         n, seed, args = self._tile_args(o, d, tm, key)
-        lr, lg, lb = _run(self.key, seed, self.sph_table, *args,
-                          max_depth=max_depth, t_min=t_min, interpret=interpret)
+        lr, lg, lb = _run(self.key, seed, self.sph_table, self.tri_table,
+                          self.tri_nodes, self.tri_links, self.tri_leaf, *args,
+                          max_depth=max_depth, t_min=t_min, interpret=interpret,
+                          n_tri_nodes=self.n_tri_nodes)
         out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)], axis=-1)
         return out[:n]
 
@@ -660,19 +974,28 @@ class PallasTracer:
         interpret = jax.default_backend() != "tpu"
         n, seed, args = self._tile_args(o, d, tm, key)
         out = _run(
-            self.key, seed, self.sph_table, *args,
+            self.key, seed, self.sph_table, self.tri_table, self.tri_nodes,
+            self.tri_links, self.tri_leaf, *args,
             max_depth=max_depth, t_min=t_min, interpret=interpret, record=True,
-            need_p=self.need_p,
+            need_p=self.need_p, need_uv=self.need_uv,
+            n_tri_nodes=self.n_tri_nodes,
         )
         flat = lambda a: a.reshape(max_depth, -1)[:, :n]
         packed = flat(out[0])
         zeros = jnp.zeros((max_depth, n), jnp.float32)
+        i = 1
         if self.need_p:
-            p = jnp.stack([flat(out[1]), flat(out[2]), flat(out[3])], axis=-1)
+            p = jnp.stack([flat(out[i]), flat(out[i + 1]), flat(out[i + 2])],
+                          axis=-1)
+            i += 3
         else:
             p = jnp.zeros((max_depth, n, 3), jnp.float32)
+        if self.need_uv:
+            u, v = flat(out[i]), flat(out[i + 1])
+        else:
+            u = v = zeros
         return BounceData(
-            mat_id=packed & 0xFFFF, u=zeros, v=zeros, p=p,
+            mat_id=packed & 0xFFFF, u=u, v=v, p=p,
             hit=(packed & (1 << 16)) != 0, cont=(packed & (1 << 17)) != 0,
             miss=(packed & (1 << 18)) != 0,
         )

@@ -32,14 +32,18 @@ def _ceil_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("settings", "mesh"))
+@partial(jax.jit, static_argnames=("settings", "mesh", "trace_fn"))
 def render_chunk_sharded(scene: Scene, camera: Camera, settings: RenderSettings,
-                         key: jax.Array, mesh) -> jax.Array:
+                         key: jax.Array, mesh, trace_fn=None) -> jax.Array:
     """One sample chunk on the mesh -> (npix_pad, 3) float32 sums.
 
     Output rows are dp-sharded across devices; convert with np.asarray to
     gather.  spp_per_chunk must be divisible by the sp axis size.
+    trace_fn overrides the XLA tracer (e.g. a scene-baked
+    `ops.pallas_trace.PallasTracer` — see `compile_sharded_renderer`).
     """
+    if trace_fn is None:
+        trace_fn = trace
     h, w = settings.image_height, settings.image_width
     npix = h * w
     n_sp = mesh.shape[SP_AXIS]
@@ -83,8 +87,9 @@ def render_chunk_sharded(scene: Scene, camera: Camera, settings: RenderSettings,
                 u = (c.astype(jnp.float32) + jit2[:, 0]) * inv_w
                 v = ((h - 1 - r).astype(jnp.float32) + jit2[:, 1]) * inv_h
                 o, d, tm = camera.get_rays(k_cam, u, v)
-                return trace(scene, o, d, tm, k_trace,
-                             max_depth=settings.max_depth, t_min=settings.t_min)
+                return trace_fn(scene, o, d, tm, k_trace,
+                                max_depth=settings.max_depth,
+                                t_min=settings.t_min)
 
             out = jax.lax.map(
                 wave,
@@ -101,6 +106,42 @@ def render_chunk_sharded(scene: Scene, camera: Camera, settings: RenderSettings,
         return jax.lax.psum(sums, SP_AXIS)
 
     return work(scene, camera, key)
+
+
+def compile_sharded_renderer(scene: Scene, camera: Camera,
+                             settings: RenderSettings, mesh,
+                             engine: str = "auto"):
+    """Scene-specialized SPMD renderer: key -> dp-sharded (npix_pad, 3) sums.
+
+    The multi-chip counterpart of `engine.render.compile_renderer`: the scene
+    bakes into the compiled program (replicated per device — it is MBs, not
+    GBs, SURVEY §5) and "auto" routes supported scenes through the pallas
+    megakernel inside the shard_map region, so each chip runs the on-chip
+    bounce loop over the rays it owns.
+    """
+    trace_fn = None
+    if engine in ("auto", "pallas"):
+        from ..engine.integrator import shade_radiance
+        from ..ops import pallas_trace
+
+        on = jax.default_backend() == "tpu" or engine == "pallas"
+        if on and pallas_trace.supports_forward(scene):
+            trace_fn = pallas_trace.PallasTracer(scene)
+        elif on and pallas_trace.supports_scene(scene):
+            tracer = pallas_trace.PallasTracer(scene)
+
+            def trace_fn(scene_p, o, d, tm, k, max_depth, t_min):
+                data = tracer.walk(o, d, tm, k, max_depth=max_depth,
+                                   t_min=t_min)
+                return shade_radiance(scene_p, data)
+        elif engine == "pallas":
+            raise ValueError("scene not supported by the pallas megakernel")
+
+    def chunk(key):
+        return render_chunk_sharded(scene, camera, settings, key, mesh,
+                                    trace_fn=trace_fn)
+
+    return jax.jit(chunk)
 
 
 def make_sharded_chunk_fn(mesh):

@@ -95,3 +95,22 @@ class TestGradients:
                                        rtol=1e-4, atol=1e-6)
         # the basic scene's sphere albedos must actually receive gradient
         assert np.abs(np.asarray(g1["tex_c1"])).max() > 0.0
+
+
+class TestShardedPallas:
+    def test_sharded_pallas_engine_matches_xla_statistically(self, basic):
+        """compile_sharded_renderer(engine='pallas') runs the megakernel
+        inside the shard_map region (interpret mode on CPU devices)."""
+        from raytracing_gpu_tpu.parallel.render import compile_sharded_renderer
+
+        st = _settings(basic.aspect, spp=4)
+        key = jax.random.PRNGKey(7)
+        mesh = make_mesh(n_sp=2, n_dp=4)
+        npix = st.image_height * st.image_width
+        xla = np.asarray(compile_sharded_renderer(
+            basic.scene, basic.camera, st, mesh, engine="xla")(key))[:npix]
+        pal = np.asarray(compile_sharded_renderer(
+            basic.scene, basic.camera, st, mesh, engine="pallas")(key))[:npix]
+        a, b = xla / st.spp_per_chunk, pal / st.spp_per_chunk
+        assert abs(a.mean() - b.mean()) < 0.02
+        assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.95

@@ -42,6 +42,15 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="shard over all local devices (sp x dp mesh)")
     r.add_argument("--n-sp", type=int, default=1,
                    help="sample-parallel mesh axis size (with --sharded)")
+    r.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed and mesh over ALL global "
+                        "devices (implies --sharded); on TPU pods the "
+                        "coordinator autodetects, elsewhere pass the three "
+                        "--coordinator-* flags on every process")
+    r.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0 (with --multihost)")
+    r.add_argument("--num-processes", type=int, default=None)
+    r.add_argument("--process-id", type=int, default=None)
     r.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace to this directory")
     r.add_argument("--quiet", action="store_true")
@@ -59,6 +68,18 @@ def _build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
+
+    # multi-host init must happen before any other JAX use creates a backend
+    coordinator = getattr(args, "multihost", False)
+    is_coord = True
+    if coordinator:
+        from .parallel import distributed
+
+        distributed.initialize(coordinator_address=args.coordinator_address,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+        is_coord = distributed.is_coordinator()
+        args.sharded = True
 
     if args.command == "list":
         from .models import scenes
@@ -111,7 +132,9 @@ def main(argv=None) -> int:
         from .parallel.render import make_sharded_chunk_fn
 
         mesh = make_mesh(n_sp=args.n_sp)
-        chunk_fn = make_sharded_chunk_fn(mesh)
+        # scene-specialized: bakes geometry and routes the pallas megakernel
+        # inside the shard_map region when the scene is covered
+        chunk_fn = make_sharded_chunk_fn(mesh, sd.scene, sd.camera, st)
 
     from .engine import film
     from .engine.render import render_linear
@@ -124,14 +147,19 @@ def main(argv=None) -> int:
         profile_cm.__enter__()
 
     t0 = time.perf_counter()
+    # every process renders its shards; only the coordinator persists
+    # checkpoints and encodes the image (SURVEY §5 distributed plan)
     linear = render_linear(sd.scene, sd.camera, st, seed=args.seed,
-                           checkpoint_dir=args.checkpoint_dir,
-                           progress=progress, chunk_fn=chunk_fn)
+                           checkpoint_dir=args.checkpoint_dir if is_coord else None,
+                           progress=progress if is_coord else None,
+                           chunk_fn=chunk_fn)
     elapsed = time.perf_counter() - t0
 
     if profile_cm is not None:
         profile_cm.__exit__(None, None, None)
 
+    if not is_coord:
+        return 0
     img = film.finalize(linear * st.rays_per_pixel, st.rays_per_pixel)
     if args.output.endswith(".ppm"):
         film.write_ppm(args.output, img)

@@ -7,10 +7,20 @@ texture, and emitter parameters and validate against finite differences.
 Design: the whole Scene is a pytree, so `jax.grad` works directly; the
 *parameter view* below selects the leaves that are meaningfully differentiable
 (texture colors — which include emitter radiance via diffuse_light textures —
-the image atlas, and metal fuzz).  Discrete structure (hit selection, BVH
-paths, primitive/material indices) is detached inside the engine
+and the image atlas).  Discrete structure (hit selection, BVH paths,
+primitive/material indices) is detached inside the engine
 (`intersect.closest_hit`, `materials.scatter`), giving a detached-sampling
 estimator: unbiased for shading/emission/texture parameters.
+
+Metal `fuzz` is deliberately NOT a parameter: it only enters through the
+scattered *direction* (`material.h:39-56`), and the detached-sampling
+estimator stops gradients at direction sampling by design (directions feed
+the discrete next-hit selection).  Its pathwise gradient under this estimator
+is identically zero, so exposing it would be a false capability — a correct
+fuzz derivative needs a path-space estimator (e.g. reparameterized BSDF
+sampling with warped-area terms), out of scope for the reference's feature
+set.  `tests/test_grad.py::test_every_param_has_gradient` guards that every
+exposed parameter receives a nonzero gradient.
 """
 
 from __future__ import annotations
@@ -31,7 +41,6 @@ def get_params(scene: Scene) -> ParamDict:
         "tex_c1": scene.textures.c1,
         "tex_c2": scene.textures.c2,
         "atlas_data": scene.atlas.data,
-        "fuzz": scene.materials.fuzz,
     }
 
 
@@ -40,7 +49,6 @@ def set_params(scene: Scene, params: ParamDict) -> Scene:
     return scene.replace(
         textures=scene.textures.replace(c1=params["tex_c1"], c2=params["tex_c2"]),
         atlas=scene.atlas.replace(data=params["atlas_data"]),
-        materials=scene.materials.replace(fuzz=params["fuzz"]),
     )
 
 

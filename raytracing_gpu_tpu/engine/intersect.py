@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 from jax import Array
 
@@ -31,7 +32,9 @@ from ..accel import traverse as _traverse
 from ..core import rng, vec
 from ..scene.types import Scene
 
-BIG = jnp.float32(1e30)
+# np (not jnp): a module-level device constant would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize ordering
+BIG = np.float32(1e30)
 _EPS_DIV = 1e-12
 
 

@@ -191,10 +191,13 @@ def render_linear(
 
     sums = np.zeros((npix_pad, 3), np.float32)
     start_chunk = 0
+    fp = ""
     if checkpoint_dir is not None:
         from ..utils import checkpoint as ckpt
 
-        state = ckpt.load(checkpoint_dir, expected_shape=(npix_pad, 3))
+        fp = ckpt.fingerprint(settings, settings.seed if seed is None else seed,
+                              scene)
+        state = ckpt.load(checkpoint_dir, expected_shape=(npix_pad, 3), fp=fp)
         if state is not None:
             sums, start_chunk = state
 
@@ -210,7 +213,7 @@ def render_linear(
         sums += np.asarray(jax.block_until_ready(out))
         dt = time.perf_counter() - t0
         if checkpoint_dir is not None:
-            ckpt.save(checkpoint_dir, sums, c + 1)
+            ckpt.save(checkpoint_dir, sums, c + 1, fp=fp)
         if progress is not None:
             progress(c + 1, settings.num_chunks, dt)
 

@@ -144,12 +144,33 @@ def compile_sharded_renderer(scene: Scene, camera: Camera,
     return jax.jit(chunk)
 
 
-def make_sharded_chunk_fn(mesh):
+def make_sharded_chunk_fn(mesh, scene=None, camera=None, settings=None,
+                          engine: str = "auto"):
     """Adapter with the `engine.render.render_chunk` signature, for use as
-    `render_linear(..., chunk_fn=...)`."""
+    `render_linear(..., chunk_fn=...)`.
+
+    With (scene, camera, settings) given, the chunk is scene-specialized via
+    `compile_sharded_renderer` — geometry baked as constants and the pallas
+    megakernel routed when supported (the CLI `--sharded` path).  Without
+    them, falls back to the generic traced-scene form (tests, changing
+    scenes)."""
+    compiled = None
+    if scene is not None:
+        compiled = compile_sharded_renderer(scene, camera, settings, mesh,
+                                            engine=engine)
 
     def chunk(scene, camera, settings, key):
-        out = render_chunk_sharded(scene, camera, settings, key, mesh)
+        if compiled is not None:
+            out = compiled(key)
+        else:
+            out = render_chunk_sharded(scene, camera, settings, key, mesh)
+        if jax.process_count() > 1:
+            # multi-host: dp shards live on remote processes; gather the full
+            # framebuffer to every host (it is MBs — the one DCN collective
+            # this design needs, SURVEY §5)
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
         h, w = settings.image_height, settings.image_width
         npix = h * w
         b = min(settings.ray_batch, _ceil_to(npix, 8))

@@ -43,6 +43,30 @@ def setup():
     return scene, chunk, params, key
 
 
+def test_every_param_has_gradient():
+    """Every leaf in diff.get_params must receive a nonzero gradient on a
+    scene that exercises it — guards against false capabilities like the
+    round-1 `fuzz` parameter, whose pathwise gradient under the
+    detached-sampling estimator is identically zero (see engine/diff.py)."""
+    b = SceneBuilder(background=BLACK)
+    # checker floor exercises tex_c1 AND tex_c2; image sphere exercises the
+    # atlas; emissive rect exercises tex_c1 via diffuse_light
+    checker = b.checker((0.2, 0.3, 0.1), (0.9, 0.9, 0.9))
+    b.rect("xz", -10, 10, -10, 10, -1, b.lambertian(checker))
+    img = np.full((4, 4, 3), 0.5, np.float32)
+    b.sphere((0, 0.5, 0), 0.5, b.lambertian(b.image(img)))
+    b.rect("xz", -2, 2, -2, 2, 4, b.diffuse_light((8.0, 8.0, 8.0)))
+    scene = b.build()
+    cam = Camera.make((0, 1, -5), (0, 0.5, 0), (0, 1, 0), 40, 1.0, 0.0, 10.0)
+    st = RenderSettings(image_width=16, aspect_ratio=1.0, spp_per_chunk=8,
+                        num_chunks=1, max_depth=4, ray_batch=16 * 16)
+    chunk = compile_param_renderer(scene, cam, st)
+    params = diff.get_params(scene)
+    g = jax.jit(jax.grad(lambda p: chunk(p, jax.random.PRNGKey(7)).sum()))(params)
+    for name, grad in g.items():
+        assert np.any(np.asarray(grad) != 0.0), f"parameter {name} has zero gradient"
+
+
 class TestGradients:
     def test_grads_match_finite_differences(self, setup):
         """Central-difference check: the Monte Carlo estimator uses FIXED keys,

@@ -18,7 +18,6 @@ from typing import Optional, Sequence, Union
 import numpy as np
 import jax.numpy as jnp
 
-from . import perlin as perlin_mod
 from .types import (
     BOX,
     DIELECTRIC,
@@ -38,7 +37,6 @@ from .types import (
     Boxes,
     ImageAtlas,
     Materials,
-    PerlinTables,
     Rects,
     Scene,
     Spheres,
@@ -265,7 +263,6 @@ class SceneBuilder:
         if not self._tex:
             self.solid((0.5, 0.5, 0.5))
 
-        host_rng = np.random.default_rng(self.seed)
 
         spheres = self._pack_spheres()
         rects = self._pack_rects()
@@ -285,11 +282,10 @@ class SceneBuilder:
             image_id=jnp.asarray([t["image_id"] for t in self._tex], jnp.int32),
         )
         atlas = self._pack_atlas()
-        perlin = perlin_mod.make_tables(host_rng)
 
         scene = Scene(
             spheres=spheres, rects=rects, boxes=boxes, triangles=tris,
-            materials=materials, textures=textures, perlin=perlin, atlas=atlas,
+            materials=materials, textures=textures, atlas=atlas,
             background=jnp.asarray(self.background, jnp.float32),
             tri_bvh=None, sphere_bvh=None,
             has_sphere_media=any(s["medium"] for s in self._spheres),

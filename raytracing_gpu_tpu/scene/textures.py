@@ -73,11 +73,11 @@ def eval_texture(scene: Scene, tex_id: Array, u: Array, v: Array, p: Array) -> A
         out = jnp.where((kind == TEX_CHECKER)[..., None], checker, out)
 
     if present & {TEX_NOISE, TEX_TURB, TEX_MARBLE}:
-        # perlin family — one shared table set
-        turb_val = perlin_mod.turb(scene.perlin, scale[..., None] * p, depth=7)
+        # perlin family — gather-free hash-gradient noise (scene/perlin.py)
+        turb_val = perlin_mod.turb(scale[..., None] * p, depth=7)
         ones = jnp.ones_like(c1)
         if TEX_NOISE in present:
-            noise_val = perlin_mod.noise(scene.perlin, scale[..., None] * p)
+            noise_val = perlin_mod.noise(scale[..., None] * p)
             # noise_texture (texture.h:49-62): gray 0.5*(1+noise)
             noise_tex = 0.5 * (1.0 + noise_val)[..., None] * ones
             out = jnp.where((kind == TEX_NOISE)[..., None], noise_tex, out)

@@ -10,8 +10,9 @@ map to TPU.  Here the whole scene is a pytree of packed arrays:
 - a material parameter table (kind tag + texture id + fuzz + ior),
 - a texture parameter table (kind tag + colors + scale + image id) over a flat
   image atlas — the same flat-array indexing scheme as the reference's
-  `image_texture` (`texture.h:125-142`), but in float32,
-- shared Perlin tables (`perlin.h:63-76`),
+  `image_texture` (`texture.h:125-142`), but in float32.
+  (Perlin noise is table-free here — hash-gradient, see scene/perlin.py —
+  so the reference's table set `perlin.h:63-76` has no pytree counterpart.)
 
 so "virtual dispatch" becomes masked select / gather over tags, and the whole
 scene is replicated per device while ray batches are sharded.
@@ -167,20 +168,6 @@ class Textures:
 
 
 @struct.dataclass
-class PerlinTables:
-    """Shared Perlin gradient/permutation tables (reference `perlin.h:63-76`).
-
-    The reference builds one table set per noise texture from a curand stream;
-    one shared set is statistically identical and keeps the pytree small.
-    """
-
-    ranvec: Array  # (256, 3) unit gradient vectors
-    perm_x: Array  # (256,) int32
-    perm_y: Array  # (256,) int32
-    perm_z: Array  # (256,) int32
-
-
-@struct.dataclass
 class ImageAtlas:
     """Flat image-texture atlas (reference `texture.h:97-164`, `make_image`).
 
@@ -205,7 +192,6 @@ class Scene:
     triangles: Triangles
     materials: Materials
     textures: Textures
-    perlin: PerlinTables
     atlas: ImageAtlas
     background: Array  # (3,) miss color (reference `scenes.h:69-78`)
     tri_bvh: Optional[Any] = None  # accel.bvh.FlatBVH over triangles

@@ -39,27 +39,39 @@ class TestSolidChecker:
 
 class TestPerlin:
     def test_noise_range_and_smoothness(self, np_rng):
-        tables = perlin.make_tables(np_rng)
         pts = jnp.asarray(np_rng.uniform(-10, 10, (5000, 3)), jnp.float32)
-        vals = np.asarray(perlin.noise(tables, pts))
+        vals = np.asarray(perlin.noise(pts))
         assert vals.min() >= -1.0 and vals.max() <= 1.0
         assert vals.std() > 0.05  # non-degenerate
         # smoothness: nearby points give nearby values
-        eps_vals = np.asarray(perlin.noise(tables, pts + 1e-4))
+        eps_vals = np.asarray(perlin.noise(pts + 1e-4))
         assert np.abs(eps_vals - vals).max() < 1e-2
 
-    def test_noise_deterministic(self, np_rng):
-        import numpy as onp
-
-        t1 = perlin.make_tables(onp.random.default_rng(42))
-        t2 = perlin.make_tables(onp.random.default_rng(42))
+    def test_noise_deterministic(self):
         pts = jnp.asarray([[0.3, 1.7, -2.2]])
-        assert float(perlin.noise(t1, pts)[0]) == float(perlin.noise(t2, pts)[0])
+        assert float(perlin.noise(pts)[0]) == float(perlin.noise(pts)[0])
+
+    def test_noise_zero_mean_isotropicish(self, np_rng):
+        """Gradient noise must be ~zero-mean and vary along every axis
+        (the hash-gradient redesign must not introduce axis bias)."""
+        pts = jnp.asarray(np_rng.uniform(-20, 20, (20000, 3)), jnp.float32)
+        vals = np.asarray(perlin.noise(pts))
+        assert abs(vals.mean()) < 0.01
+        for axis in range(3):
+            line = np.zeros((64, 3), np.float32)
+            line[:, axis] = np.linspace(0.1, 9.9, 64)
+            lv = np.asarray(perlin.noise(jnp.asarray(line)))
+            assert lv.std() > 0.02, f"flat along axis {axis}"
+
+    def test_noise_vanishes_at_lattice(self):
+        """Gradient noise is exactly 0 at integer lattice points (dot of any
+        gradient with a zero offset) — same property as the reference's."""
+        pts = jnp.asarray([[0, 0, 0], [3, -2, 7], [100, 41, -5]], jnp.float32)
+        np.testing.assert_allclose(np.asarray(perlin.noise(pts)), 0.0, atol=1e-6)
 
     def test_turb_positive(self, np_rng):
-        tables = perlin.make_tables(np_rng)
         pts = jnp.asarray(np_rng.uniform(-10, 10, (1000, 3)), jnp.float32)
-        vals = np.asarray(perlin.turb(tables, pts))
+        vals = np.asarray(perlin.turb(pts))
         assert vals.min() >= 0.0
 
     def test_noise_texture_in_unit_range(self):

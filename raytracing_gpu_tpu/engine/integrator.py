@@ -54,7 +54,7 @@ def trace(
         jnp.ones((n,), bool),            # alive
     )
 
-    def bounce(state, depth):
+    def live_bounce(state, depth):
         o, d, tm, throughput, radiance, alive = state
         kb = rng.fold(key, depth)
         k_hit, k_scat = jax.random.split(kb)
@@ -77,7 +77,16 @@ def trace(
         throughput = jnp.where(cont[:, None], throughput * sc.attenuation, throughput)
         o = vec.where(hit_lane, rec.p, o)
         d = vec.where(hit_lane, sc.direction, d)
-        return (o, d, tm, throughput, radiance, cont), None
+        return (o, d, tm, throughput, radiance, cont)
+
+    def bounce(state, depth):
+        # early exit: once every lane is dead, skip the whole intersection +
+        # shade body (the reference breaks per-thread, render.h:60-79; at
+        # depth-50 defaults most batches are all-dead within ~8 bounces)
+        state = jax.lax.cond(jnp.any(state[-1]),
+                             lambda s: live_bounce(s, depth),
+                             lambda s: s, state)
+        return state, None
 
     (_, _, _, _, radiance, _), _ = jax.lax.scan(
         bounce, state, jnp.arange(max_depth)
@@ -114,7 +123,7 @@ def trace_bounces(
     n = origins.shape[0]
     state = (origins, directions, times, jnp.ones((n,), bool))
 
-    def bounce(state, depth):
+    def live_bounce(state, depth):
         o, d, tm, alive = state
         kb = rng.fold(key, depth)
         k_hit, k_scat = jax.random.split(kb)
@@ -130,6 +139,21 @@ def trace_bounces(
         o = vec.where(hit_lane, rec.p, o)
         d = vec.where(hit_lane, direction, d)
         return (o, d, tm, cont), data
+
+    def dead_bounce(state):
+        n_ = state[0].shape[0]
+        f = jnp.zeros((n_,), bool)
+        data = BounceData(mat_id=jnp.zeros((n_,), jnp.int32),
+                          u=jnp.zeros((n_,)), v=jnp.zeros((n_,)),
+                          p=jnp.zeros((n_, 3)), hit=f, cont=f, miss=f)
+        return state, data
+
+    def bounce(state, depth):
+        # all-dead early exit mirroring `trace` (a shade_radiance over the
+        # zero BounceData contributes exactly nothing)
+        return jax.lax.cond(jnp.any(state[-1]),
+                            lambda s: live_bounce(s, depth),
+                            dead_bounce, state)
 
     _, data = jax.lax.scan(bounce, state, jnp.arange(max_depth))
     return data

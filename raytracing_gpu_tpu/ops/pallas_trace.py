@@ -16,15 +16,27 @@ for a vector core:
 - the bounce loop is a `fori_loop` with all state in VMEM registers — zero
   HBM traffic between bounces.
 
-Coverage: spheres (static + moving), axis-aligned rects, boxes (with
-rotate_y/translate instance transforms), triangle meshes (packet traversal
-of a threaded flat BVH: one scalar node cursor per ray tile, vector slab
-tests, any()-reductions to descend — no vector gathers, which Mosaic lacks),
-lambertian/metal/dielectric/diffuse_light/isotropic materials, solid +
-checker textures in-kernel, image textures on rects/triangles via record
-mode (the walk emits uv; XLA shades from the atlas), sky/black backgrounds.
-Scenes using constant media or perlin textures fall back to the XLA path
-(`supports_scene`/`supports_forward` report which).
+Coverage (full scene set as of round 2): spheres (static + moving),
+axis-aligned rects, boxes (with rotate_y/translate instance transforms),
+triangle meshes (packet traversal of a threaded flat BVH: one scalar node
+cursor per ray tile, vector slab tests, any()-reductions to descend — no
+vector gathers, which Mosaic lacks), constant media on sphere/box boundaries
+(exponential free-path sampling with the in-kernel PCG RNG,
+`constant_medium.h:34-70`), lambertian/metal/dielectric/diffuse_light/
+isotropic materials, solid + checker + perlin-family (noise/turb/marble,
+gather-free hash-gradient noise shared with scene/perlin.py) textures
+in-kernel, sphere uv via polynomial atan2/acos (Mosaic lowers neither), and
+image textures via record mode (the walk emits uv; XLA shades from the
+atlas).  `supports_scene` is True for every scene; `supports_forward` is
+True except when image textures are used (those route walk + XLA shade).
+
+Texture evaluation is deferred: the closest-hit carry holds the winning
+primitive's texture *parameters* (kind/c1/c2/scale), and albedo is computed
+ONCE per bounce after the carry resolves — not per candidate row.
+
+The bounce loop is a `while_loop` that exits as soon as every lane in the
+tile is dead (the reference breaks per-thread, `render.h:60-79`; a vector
+core exits per-tile).
 
 Used by `engine.render.compile_renderer(engine="pallas")` for forward
 rendering; the differentiable path keeps the XLA phase-2 shade (gradients
@@ -59,13 +71,16 @@ class SceneBake(NamedTuple):
 
     rects: list            # dicts of python floats
     boxes: list
-    sphere_table: np.ndarray  # (S, 24) float32 denormalized sphere rows
+    sphere_media: list     # constant-medium sphere boundaries (unrolled)
+    box_media: list        # constant-medium box boundaries (unrolled)
+    sphere_table: np.ndarray  # (S, 24) float32 denormalized SOLID sphere rows
     tri_table: np.ndarray     # (T, 40) float32 denormalized triangle rows
     tri_nodes: np.ndarray     # (M, 6) float32 BVH node bounds (min, max)
     tri_links: np.ndarray     # (M, 2) int32 threaded (hit, miss) links
     tri_leaf: np.ndarray      # (M, K) int32 leaf primitive ids (-1 pad)
     background: tuple
     sky: bool
+    digest: str            # content hash — the jit static-arg identity
 
 
 # triangle row column layout (see _bake_triangles)
@@ -73,8 +88,14 @@ _TRI_V0, _TRI_E1, _TRI_E2 = 0, 3, 6
 _TRI_N0, _TRI_N1, _TRI_N2 = 9, 12, 15
 _TRI_UV0, _TRI_UV1, _TRI_UV2 = 18, 20, 22
 _TRI_KIND, _TRI_FUZZ, _TRI_IR, _TRI_MAT = 24, 25, 26, 27
-_TRI_C1, _TRI_C2, _TRI_SCALE, _TRI_CHECK = 28, 31, 34, 35
+_TRI_C1, _TRI_C2, _TRI_SCALE, _TRI_TEXK = 28, 31, 34, 35
 _TRI_COLS = 40
+
+# sphere row column layout (see bake_scene)
+_SPH_C0, _SPH_C1, _SPH_T0, _SPH_T1, _SPH_RAD, _SPH_KIND = 0, 3, 6, 7, 8, 9
+_SPH_A1, _SPH_A2, _SPH_SCALE, _SPH_FUZZ, _SPH_IR = 10, 13, 16, 17, 18
+_SPH_TEXK, _SPH_MAT = 19, 20
+_MAX_MEDIA = 16  # RNG salt slots reserved per bounce for media free paths
 
 
 def _used_tex_kinds_by_class(scene) -> dict:
@@ -95,46 +116,45 @@ def supports_scene(scene: st.Scene) -> bool:
     """True when the megakernel covers this scene's feature set in WALK
     (record) mode — the differentiable path and the two-phase forward path.
 
-    Covered: spheres/rects/boxes/triangle-BVH geometry; solid + checker
-    textures everywhere; image textures on rects and triangles (their uv is
-    algebraic — sphere uv needs atan2/acos, which Mosaic does not lower).
-    Not covered: constant media, perlin-family textures.
+    As of round 2 this is every scene the framework can express: all
+    geometry (spheres/rects/boxes/triangle-BVH), constant media, all texture
+    families (image textures record uv for the XLA phase-2 shade; sphere uv
+    is computed with polynomial atan2/acos).  The only cap is _MAX_MEDIA
+    constant-medium boundaries (RNG salt slots per bounce) — far above any
+    reference scene (cornell_smoke has 2).
     """
-    if scene.has_sphere_media or scene.has_box_media:
-        return False
-    scene = jax.device_get(scene)
-    by_class = _used_tex_kinds_by_class(scene)
-    flat_ok = {st.TEX_SOLID, st.TEX_CHECKER}
-    uv_ok = flat_ok | {st.TEX_IMAGE}
-    return (by_class["sphere"] <= flat_ok and by_class["box"] <= flat_ok
-            and by_class["rect"] <= uv_ok and by_class["tri"] <= uv_ok)
+    host = jax.device_get(scene)
+    n_media = int(np.sum(np.asarray(host.spheres.medium)
+                         & np.asarray(host.spheres.active)))
+    n_media += int(np.sum(np.asarray(host.boxes.medium)
+                          & np.asarray(host.boxes.active)))
+    return n_media <= _MAX_MEDIA
 
 
 def supports_forward(scene: st.Scene) -> bool:
     """True when the kernel can additionally SHADE in-kernel (pure forward
-    radiance mode): everything in `supports_scene` minus image textures,
-    whose atlas lives in XLA (walk + phase-2 shade covers those)."""
+    radiance mode): everything except image textures, whose atlas lives in
+    XLA (walk + phase-2 shade covers those)."""
     if not supports_scene(scene):
         return False
     scene = jax.device_get(scene)
     by_class = _used_tex_kinds_by_class(scene)
-    flat_ok = {st.TEX_SOLID, st.TEX_CHECKER}
-    return all(k <= flat_ok for k in by_class.values())
+    return not any(st.TEX_IMAGE in k for k in by_class.values())
 
 
 def _mat_shading(scene, mat_id: int):
-    """(kind, albedo c1, c2, checker_scale, fuzz, ir) host scalars for a material."""
+    """(kind, texture kind/colors/scale, fuzz, ir) host scalars for a material."""
     mats = scene.materials
     texs = scene.textures
     kind = int(np.asarray(mats.kind[mat_id]))
     tex = int(np.asarray(mats.tex_id[mat_id]))
     c1 = tuple(float(x) for x in np.asarray(texs.c1[tex]))
     c2 = tuple(float(x) for x in np.asarray(texs.c2[tex]))
-    checker = int(np.asarray(texs.kind[tex])) == st.TEX_CHECKER
+    texk = int(np.asarray(texs.kind[tex]))
     scale = float(np.asarray(texs.scale[tex]))
     fuzz = float(np.asarray(mats.fuzz[mat_id]))
     ir = float(np.asarray(mats.ir[mat_id]))
-    return dict(kind=kind, c1=c1, c2=c2, checker=checker, scale=scale,
+    return dict(kind=kind, c1=c1, c2=c2, texk=texk, scale=scale,
                 fuzz=fuzz, ir=ir, mat=int(mat_id))
 
 
@@ -158,43 +178,69 @@ def bake_scene(scene: st.Scene) -> SceneBake:
             **_mat_shading(scene, int(np.asarray(rc.mat_id[i]))),
         ))
     boxes = []
+    box_media = []
     bx = scene.boxes
     for i in range(int(bx.bmin.shape[0])):
         if not bool(np.asarray(bx.active[i])):
             continue
-        boxes.append(dict(
+        row = dict(
             bmin=tuple(float(x) for x in np.asarray(bx.bmin[i])),
             bmax=tuple(float(x) for x in np.asarray(bx.bmax[i])),
             cos=float(np.asarray(bx.cos_t[i])), sin=float(np.asarray(bx.sin_t[i])),
             off=tuple(float(x) for x in np.asarray(bx.offset[i])),
             **_mat_shading(scene, int(np.asarray(bx.mat_id[i]))),
-        ))
+        )
+        if bool(np.asarray(bx.medium[i])):
+            row["nid"] = float(np.asarray(bx.neg_inv_density[i]))
+            box_media.append(row)
+        else:
+            boxes.append(row)
 
     sp = scene.spheres
     rows = []
+    sphere_media = []
     for i in range(int(sp.radius.shape[0])):
         if not bool(np.asarray(sp.active[i])):
             continue
         sh = _mat_shading(scene, int(np.asarray(sp.mat_id[i])))
         c0 = np.asarray(sp.center0[i])
         c1v = np.asarray(sp.center1[i])
+        if bool(np.asarray(sp.medium[i])):
+            sphere_media.append(dict(
+                c0=tuple(float(x) for x in c0),
+                c1=tuple(float(x) for x in c1v),
+                t0=float(np.asarray(sp.time0[i])),
+                t1=float(np.asarray(sp.time1[i])),
+                radius=float(np.asarray(sp.radius[i])),
+                nid=float(np.asarray(sp.neg_inv_density[i])), **sh,
+            ))
+            continue
         rows.append([
             c0[0], c0[1], c0[2], c1v[0], c1v[1], c1v[2],
             float(np.asarray(sp.time0[i])), float(np.asarray(sp.time1[i])),
             float(np.asarray(sp.radius[i])), float(sh["kind"]),
             sh["c1"][0], sh["c1"][1], sh["c1"][2],
             sh["c2"][0], sh["c2"][1], sh["c2"][2],
-            sh["scale"], sh["fuzz"], sh["ir"], 1.0 if sh["checker"] else 0.0,
+            sh["scale"], sh["fuzz"], sh["ir"], float(sh["texk"]),
             float(sh["mat"]), 0.0, 0.0, 0.0,  # mat id + pad to 24 columns
         ])
     table = (np.asarray(rows, np.float32) if rows
              else np.zeros((0, 24), np.float32))
     tri_table, tri_nodes, tri_links, tri_leaf = _bake_triangles(scene)
     bg = tuple(float(x) for x in np.asarray(scene.background))
-    return SceneBake(rects=rects, boxes=boxes, sphere_table=table,
+
+    h = __import__("hashlib").sha256()
+    for part in (rects, boxes, sphere_media, box_media, bg):
+        h.update(repr(part).encode())
+    for arr in (table, tri_table, tri_nodes, tri_links, tri_leaf):
+        h.update(str(arr.shape).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return SceneBake(rects=rects, boxes=boxes, sphere_media=sphere_media,
+                     box_media=box_media, sphere_table=table,
                      tri_table=tri_table, tri_nodes=tri_nodes,
                      tri_links=tri_links, tri_leaf=tri_leaf,
-                     background=bg, sky=bg != (0.0, 0.0, 0.0))
+                     background=bg, sky=bg != (0.0, 0.0, 0.0),
+                     digest=h.hexdigest())
 
 
 def _bake_triangles(scene):
@@ -243,7 +289,7 @@ def _bake_triangles(scene):
         rows[i, _TRI_C1:_TRI_C1 + 3] = sh["c1"]
         rows[i, _TRI_C2:_TRI_C2 + 3] = sh["c2"]
         rows[i, _TRI_SCALE] = sh["scale"]
-        rows[i, _TRI_CHECK] = 1.0 if sh["checker"] else 0.0
+        rows[i, _TRI_TEXK] = float(sh["texk"])
 
     bvh = scene.tri_bvh
     if bvh is None:
@@ -318,22 +364,88 @@ def _in_sphere(base, salt: int):
     return r * ux, r * uy, r * uz
 
 
-def _checker_albedo(prim, px, py, pz):
-    s = prim["scale"]
-    sines = jnp.sin(s * px) * jnp.sin(s * py) * jnp.sin(s * pz)
-    odd = sines < 0.0
-    c1, c2 = prim["c1"], prim["c2"]
-    return (jnp.where(odd, c2[0], c1[0]), jnp.where(odd, c2[1], c1[1]),
-            jnp.where(odd, c2[2], c1[2]))
+def _atan_unit(z):
+    """atan(z) for |z| <= 1 — Abramowitz & Stegun 4.4.49 polynomial
+    (|err| < 1e-5 rad).  Mosaic lowers no inverse-trig primitives; texture uv
+    needs ~1e-4 accuracy, far below a texel at any atlas size."""
+    z2 = z * z
+    return z * (0.9998660
+                + z2 * (-0.3302995
+                        + z2 * (0.1801410
+                                + z2 * (-0.0851330 + z2 * 0.0208351))))
 
 
-def _shade_of(prim, px, py, pz, shape):
-    """Albedo rgb vectors for a baked primitive at hit points."""
-    if prim["checker"]:
-        return _checker_albedo(prim, px, py, pz)
-    c1 = prim["c1"]
-    full = jnp.full(shape, c1[0]), jnp.full(shape, c1[1]), jnp.full(shape, c1[2])
-    return full
+def _atan2_poly(y, x):
+    """Full-quadrant atan2 from the |z|<=1 core via range reduction."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.maximum(hi, 1e-30)
+    r = _atan_unit(z)
+    r = jnp.where(ay > ax, (math.pi / 2) - r, r)
+    r = jnp.where(x < 0.0, math.pi - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _acos_poly(x):
+    """acos(x) = atan2(sqrt(1 - x^2), x)."""
+    s = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
+    return _atan2_poly(s, x)
+
+
+# ----- hash-gradient perlin (identical math to scene/perlin.py, on
+# component arrays so the kernel never forms an (..., 3) axis) -----------
+
+
+def _hash3(i, j, k):
+    x = (i.astype(jnp.uint32) * jnp.uint32(0x8DA6B343)
+         ^ j.astype(jnp.uint32) * jnp.uint32(0xD8163841)
+         ^ k.astype(jnp.uint32) * jnp.uint32(0xCB1AB31F))
+    return _pcg_hash(x)
+
+
+def _grad_dot(h, x, y, z):
+    h = (h & jnp.uint32(15)).astype(jnp.int32)
+    u = jnp.where(h < 8, x, y)
+    v = jnp.where(h < 4, y, jnp.where((h == 12) | (h == 14), x, z))
+    u = jnp.where((h & 1) == 0, u, -u)
+    v = jnp.where((h & 2) == 0, v, -v)
+    return u + v
+
+
+_PERLIN_NORM = 1.0 / 1.15  # scene/perlin.py _NORM — keep in sync
+
+
+def _noise3(px, py, pz):
+    """Hash-gradient perlin noise on component arrays (scene/perlin.py)."""
+    fx, fy, fz = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
+    u, v, w = px - fx, py - fy, pz - fz
+    i, j, k = fx.astype(jnp.int32), fy.astype(jnp.int32), fz.astype(jnp.int32)
+    uu = u * u * (3.0 - 2.0 * u)
+    vv = v * v * (3.0 - 2.0 * v)
+    ww = w * w * (3.0 - 2.0 * w)
+    accum = jnp.zeros_like(u)
+    for di in (0, 1):
+        wi = uu if di else (1.0 - uu)
+        for dj in (0, 1):
+            wj = vv if dj else (1.0 - vv)
+            for dk in (0, 1):
+                wk = ww if dk else (1.0 - ww)
+                g = _grad_dot(_hash3(i + di, j + dj, k + dk),
+                              u - di, v - dj, w - dk)
+                accum = accum + wi * wj * wk * g
+    return accum * _PERLIN_NORM
+
+
+def _turb3(px, py, pz, depth=7):
+    accum = jnp.zeros_like(px)
+    weight = 1.0
+    for _ in range(depth):
+        accum = accum + weight * _noise3(px, py, pz)
+        weight *= 0.5
+        px, py, pz = px * 2.0, py * 2.0, pz * 2.0
+    return jnp.abs(accum)
 
 
 def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
@@ -359,6 +471,14 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
     the subtree their rays touch; there are no vector gathers (Mosaic has
     none).
     """
+    # texture families the scene actually uses — unused ones compile away
+    tex_kinds = {int(p["texk"]) for p in
+                 (bake.rects + bake.boxes + bake.sphere_media + bake.box_media)}
+    if len(bake.sphere_table):
+        tex_kinds |= {int(k) for k in
+                      np.unique(bake.sphere_table[:, _SPH_TEXK])}
+    if len(bake.tri_table):
+        tex_kinds |= {int(k) for k in np.unique(bake.tri_table[:, _TRI_TEXK])}
 
     def kernel(seed_ref, sph_ref, tri_ref, tnode_ref, tlink_ref, tleaf_ref,
                ox_ref, oy_ref, oz_ref,
@@ -390,19 +510,26 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             alive = alive_f > 0.5
 
             # ---------------- closest hit over baked primitives ------------
+            # The carry holds the winning primitive's texture PARAMETERS
+            # (kind/c1/c2/scale), not its albedo: textures evaluate once per
+            # bounce after the carry resolves, not per candidate row.
             zeros_v = jnp.zeros(shape)
             carry = (jnp.full(shape, BIG),              # t_best
-                     zeros_v, zeros_v, zeros_v,          # normal
-                     jnp.zeros(shape, jnp.int32),        # kind
+                     zeros_v, zeros_v, zeros_v,          # outward normal
+                     jnp.zeros(shape, jnp.int32),        # material kind
                      jnp.zeros(shape, jnp.int32),        # mat id
-                     zeros_v, zeros_v, zeros_v,           # albedo carry
+                     zeros_v, zeros_v, zeros_v,           # texture c1
+                     zeros_v, zeros_v, zeros_v,           # texture c2
+                     zeros_v,                             # texture scale
+                     jnp.zeros(shape, jnp.int32),         # texture kind
                      zeros_v, jnp.ones(shape),            # fuzz, ir
-                     zeros_v, zeros_v)                    # u, v
+                     zeros_v, zeros_v,                    # u, v
+                     zeros_v)                             # is_sphere (uv late)
 
-            def upd(ok, t, nxx, nyy, nzz, k, m, a3, fz, irr, carry,
-                    uu=None, vv=None):
-                (t_best, nx, ny, nz, kind, mid, ar, ag, ab, fuzz, ir_v,
-                 cu, cv) = carry
+            def upd(ok, t, nxx, nyy, nzz, k, m, c1, c2, scl, texk, fz, irr,
+                    carry, uu=None, vv=None, is_sph=0.0):
+                (t_best, nx, ny, nz, kind, mid, c1r, c1g, c1b, c2r, c2g, c2b,
+                 scale, tex, fuzz, ir_v, cu, cv, sphf) = carry
                 better = ok & (t < t_best)
                 t_best = jnp.where(better, t, t_best)
                 nx = jnp.where(better, nxx, nx)
@@ -410,16 +537,23 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 nz = jnp.where(better, nzz, nz)
                 kind = jnp.where(better, k, kind)
                 mid = jnp.where(better, m, mid)
-                ar = jnp.where(better, a3[0], ar)
-                ag = jnp.where(better, a3[1], ag)
-                ab = jnp.where(better, a3[2], ab)
+                c1r = jnp.where(better, c1[0], c1r)
+                c1g = jnp.where(better, c1[1], c1g)
+                c1b = jnp.where(better, c1[2], c1b)
+                c2r = jnp.where(better, c2[0], c2r)
+                c2g = jnp.where(better, c2[1], c2g)
+                c2b = jnp.where(better, c2[2], c2b)
+                scale = jnp.where(better, scl, scale)
+                tex = jnp.where(better, texk, tex)
                 fuzz = jnp.where(better, fz, fuzz)
                 ir_v = jnp.where(better, irr, ir_v)
                 if need_uv and uu is not None:
                     cu = jnp.where(better, uu, cu)
                     cv = jnp.where(better, vv, cv)
-                return (t_best, nx, ny, nz, kind, mid, ar, ag, ab, fuzz, ir_v,
-                        cu, cv)
+                if need_uv:
+                    sphf = jnp.where(better, is_sph, sphf)
+                return (t_best, nx, ny, nz, kind, mid, c1r, c1g, c1b,
+                        c2r, c2g, c2b, scale, tex, fuzz, ir_v, cu, cv, sphf)
 
             # rects (reference aarect.h), unrolled with literal constants
             for prim in bake.rects:
@@ -437,10 +571,6 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                       & (pb >= prim["b0"]) & (pb <= prim["b1"]))
                 n3 = [0.0, 0.0, 0.0]
                 n3[ax] = 1.0
-                px = ox + t * dx
-                py = oy + t * dy
-                pz = oz + t * dz
-                alb = _shade_of(prim, px, py, pz, shape)
                 if need_uv:
                     # uv from rect coords (reference aarect.h uv; matches
                     # engine.intersect._rect_record)
@@ -450,7 +580,8 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                     uu = vv = None
                 carry = upd(ok, t, jnp.full(shape, n3[0]), jnp.full(shape, n3[1]),
                             jnp.full(shape, n3[2]), prim["kind"], prim["mat"],
-                            alb, prim["fuzz"], prim["ir"], carry, uu, vv)
+                            prim["c1"], prim["c2"], prim["scale"], prim["texk"],
+                            prim["fuzz"], prim["ir"], carry, uu, vv)
 
             # boxes: world->object transform + slab test (reference box.h +
             # hittable.h instance wrappers, fused)
@@ -504,12 +635,9 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 # object -> world rotation
                 nwx = c * nobj_x + s * nobj_z
                 nwz = -s * nobj_x + c * nobj_z
-                px = ox + t * dx
-                py = oy + t * dy
-                pz = oz + t * dz
-                alb = _shade_of(prim, px, py, pz, shape)
                 carry = upd(ok, t, nwx, nobj_y, nwz, prim["kind"], prim["mat"],
-                            alb, prim["fuzz"], prim["ir"], carry)
+                            prim["c1"], prim["c2"], prim["scale"], prim["texk"],
+                            prim["fuzz"], prim["ir"], carry)
 
             # spheres: stream the denormalized table (scalar reads per row)
             if n_sphere_rows > 0:
@@ -530,11 +658,11 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                     a2r = sph_ref[i, 13]
                     a2g = sph_ref[i, 14]
                     a2b = sph_ref[i, 15]
-                    csc = sph_ref[i, 16]
-                    fz = sph_ref[i, 17]
-                    irr = sph_ref[i, 18]
-                    is_check = sph_ref[i, 19]
-                    m_id = sph_ref[i, 20]
+                    csc = sph_ref[i, _SPH_SCALE]
+                    fz = sph_ref[i, _SPH_FUZZ]
+                    irr = sph_ref[i, _SPH_IR]
+                    texk = sph_ref[i, _SPH_TEXK]
+                    m_id = sph_ref[i, _SPH_MAT]
 
                     denom = jnp.where(jnp.abs(tt1 - tt0) < 1e-12, 1.0, tt1 - tt0)
                     frac = (tm - tt0) / denom
@@ -563,12 +691,13 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                     nxx = (px - cx) * inv_r
                     nyy = (py - cy) * inv_r
                     nzz = (pz - cz) * inv_r
-                    sines = jnp.sin(csc * px) * jnp.sin(csc * py) * jnp.sin(csc * pz)
-                    odd = (is_check > 0.5) & (sines < 0.0)
-                    alb = (jnp.where(odd, a2r, a1r), jnp.where(odd, a2g, a1g),
-                           jnp.where(odd, a2b, a1b))
+                    # sphere uv is computed AFTER the carry resolves (it needs
+                    # atan2/acos polys — once per bounce, not per row); the
+                    # is_sph carry flag marks the winner as a sphere
                     return upd(ok, t, nxx, nyy, nzz, k_f.astype(jnp.int32),
-                               m_id.astype(jnp.int32), alb, fz, irr, carry)
+                               m_id.astype(jnp.int32), (a1r, a1g, a1b),
+                               (a2r, a2g, a2b), csc, texk.astype(jnp.int32),
+                               fz, irr, carry, zeros_v, zeros_v, 1.0)
 
                 carry = jax.lax.fori_loop(0, n_sphere_rows, sphere_row, carry)
 
@@ -640,30 +769,17 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                                   + vb * tri_ref[safe, _TRI_UV2 + 1])
                         else:
                             uu = vv = None
-                        if record:
-                            alb = (zeros_v, zeros_v, zeros_v)
-                        else:
-                            c1r = tri_ref[safe, _TRI_C1]
-                            c1g = tri_ref[safe, _TRI_C1 + 1]
-                            c1b = tri_ref[safe, _TRI_C1 + 2]
-                            c2r = tri_ref[safe, _TRI_C2]
-                            c2g = tri_ref[safe, _TRI_C2 + 1]
-                            c2b = tri_ref[safe, _TRI_C2 + 2]
-                            csc = tri_ref[safe, _TRI_SCALE]
-                            pxh = ox + t * dx
-                            pyh = oy + t * dy
-                            pzh = oz + t * dz
-                            sines = (jnp.sin(csc * pxh) * jnp.sin(csc * pyh)
-                                     * jnp.sin(csc * pzh))
-                            odd = (tri_ref[safe, _TRI_CHECK] > 0.5) & (sines < 0.0)
-                            alb = (jnp.where(odd, c2r, c1r),
-                                   jnp.where(odd, c2g, c1g),
-                                   jnp.where(odd, c2b, c1b))
                         carry = upd(
                             ok, t, nxx, nyy, nzz,
                             tri_ref[safe, _TRI_KIND].astype(jnp.int32),
                             tri_ref[safe, _TRI_MAT].astype(jnp.int32),
-                            alb, tri_ref[safe, _TRI_FUZZ],
+                            (tri_ref[safe, _TRI_C1], tri_ref[safe, _TRI_C1 + 1],
+                             tri_ref[safe, _TRI_C1 + 2]),
+                            (tri_ref[safe, _TRI_C2], tri_ref[safe, _TRI_C2 + 1],
+                             tri_ref[safe, _TRI_C2 + 2]),
+                            tri_ref[safe, _TRI_SCALE],
+                            tri_ref[safe, _TRI_TEXK].astype(jnp.int32),
+                            tri_ref[safe, _TRI_FUZZ],
                             tri_ref[safe, _TRI_IR], carry, uu, vv)
                     return carry
 
@@ -705,10 +821,125 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 state = jax.lax.while_loop(tcond, tbody, (jnp.int32(0), *carry))
                 carry = state[1:]
 
-            (t_best, nx, ny, nz, kind, mid, ar, ag, ab, fuzz, ir_v,
-             cu, cv) = carry
+            (t_best, nx, ny, nz, kind, mid, c1r, c1g, c1b, c2r, c2g, c2b,
+             scale, texk, fuzz, ir_v, cu, cv, sphf) = carry
+
+            salt0 = b * jnp.int32(32)
+            draw = rng_base + jnp.uint32(salt0) * jnp.uint32(0x68E31DA4)
+
+            # -------- constant media (reference constant_medium.h:34-70) ----
+            # For each medium boundary (unrolled python loop), compute its
+            # [enter, exit] interval clipped by the closest solid hit, sample
+            # an exponential free path, and keep the nearest scatter event.
+            # Salts 16.._MAX_MEDIA+15 of this bounce's draw window feed the
+            # free-path uniforms (scatter sampling uses 0..7).
+            media = list(bake.sphere_media) + list(bake.box_media)
+            if media:
+                d_len = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                inv_dlen = 1.0 / jnp.maximum(d_len, 1e-30)
+                m_t = jnp.full(shape, BIG)
+                m_sel = [zeros_v] * 10  # c1 rgb, c2 rgb, scale, kind, mid, texk
+                for im, m in enumerate(media):
+                    if "c0" in m:  # sphere boundary: full quadratic interval
+                        denom = m["t1"] - m["t0"]
+                        denom = denom if abs(denom) > 1e-12 else 1.0
+                        frac = (tm - m["t0"]) * (1.0 / denom)
+                        cx = m["c0"][0] + frac * (m["c1"][0] - m["c0"][0])
+                        cy = m["c0"][1] + frac * (m["c1"][1] - m["c0"][1])
+                        cz = m["c0"][2] + frac * (m["c1"][2] - m["c0"][2])
+                        ocx = ox - cx
+                        ocy = oy - cy
+                        ocz = oz - cz
+                        a = dx * dx + dy * dy + dz * dz
+                        hb = ocx * dx + ocy * dy + ocz * dz
+                        cc = (ocx * ocx + ocy * ocy + ocz * ocz
+                              - m["radius"] * m["radius"])
+                        disc = hb * hb - a * cc
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        inv_a = 1.0 / jnp.maximum(a, _EPS)
+                        lo = (-hb - sq) * inv_a
+                        hi = (-hb + sq) * inv_a
+                        exists = disc > 0.0
+                    else:  # box boundary: transformed slab interval
+                        c, s = m["cos"], m["sin"]
+                        offx, offy, offz = m["off"]
+                        ox_t = ox - offx
+                        oy_t = oy - offy
+                        oz_t = oz - offz
+                        ox2 = c * ox_t - s * oz_t
+                        oz2 = s * ox_t + c * oz_t
+                        dx2 = c * dx - s * dz
+                        dz2 = s * dx + c * dz
+
+                        def minv(v):
+                            return 1.0 / jnp.where(
+                                jnp.abs(v) < _EPS,
+                                jnp.where(v >= 0, _EPS, -_EPS), v)
+
+                        blo, bhi = m["bmin"], m["bmax"]
+                        ivx2, ivy2, ivz2 = minv(dx2), minv(dy), minv(dz2)
+                        tx0 = (blo[0] - ox2) * ivx2
+                        tx1 = (bhi[0] - ox2) * ivx2
+                        ty0 = (blo[1] - oy_t) * ivy2
+                        ty1 = (bhi[1] - oy_t) * ivy2
+                        tz0 = (blo[2] - oz2) * ivz2
+                        tz1 = (bhi[2] - oz2) * ivz2
+                        lo = jnp.maximum(jnp.maximum(
+                            jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                            jnp.minimum(tz0, tz1))
+                        hi = jnp.minimum(jnp.minimum(
+                            jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1))
+                        exists = hi > lo
+                    enter = jnp.maximum(lo, t_min)
+                    exit_ = jnp.minimum(hi, t_best)
+                    seg = (exit_ - enter) * d_len
+                    u_fp = jnp.maximum(_uniform(draw, 16 + im), 1e-12)
+                    hit_dist = m["nid"] * jnp.log(u_fp)
+                    t_m = enter + hit_dist * inv_dlen
+                    ok_m = exists & (exit_ > enter) & (hit_dist <= seg)
+                    better_m = ok_m & (t_m < m_t)
+                    m_t = jnp.where(better_m, t_m, m_t)
+                    vals = (m["c1"][0], m["c1"][1], m["c1"][2],
+                            m["c2"][0], m["c2"][1], m["c2"][2], m["scale"],
+                            float(m["kind"]), float(m["mat"]),
+                            float(m["texk"]))
+                    m_sel = [jnp.where(better_m, v, cur)
+                             for v, cur in zip(vals, m_sel)]
+                med_win = m_t < t_best
+                t_best = jnp.where(med_win, m_t, t_best)
+                c1r = jnp.where(med_win, m_sel[0], c1r)
+                c1g = jnp.where(med_win, m_sel[1], c1g)
+                c1b = jnp.where(med_win, m_sel[2], c1b)
+                c2r = jnp.where(med_win, m_sel[3], c2r)
+                c2g = jnp.where(med_win, m_sel[4], c2g)
+                c2b = jnp.where(med_win, m_sel[5], c2b)
+                scale = jnp.where(med_win, m_sel[6], scale)
+                kind = jnp.where(med_win, m_sel[7].astype(jnp.int32), kind)
+                mid = jnp.where(med_win, m_sel[8].astype(jnp.int32), mid)
+                texk = jnp.where(med_win, m_sel[9].astype(jnp.int32), texk)
+                # arbitrary medium normal (constant_medium.h:63-64)
+                nx = jnp.where(med_win, 1.0, nx)
+                ny = jnp.where(med_win, 0.0, ny)
+                nz = jnp.where(med_win, 0.0, nz)
+                if need_uv:
+                    sphf = jnp.where(med_win, 0.0, sphf)
+                    cu = jnp.where(med_win, 0.0, cu)
+                    cv = jnp.where(med_win, 0.0, cv)
+
             hit = alive & (t_best < BIG * 0.5)
             miss = alive & ~(t_best < BIG * 0.5)
+
+            # sphere uv (get_sphere_uv, sphere.h:19-32) from the pre-flip
+            # outward normal — polynomial atan2/acos, once per bounce
+            if need_uv and n_sphere_rows > 0:
+                ncy = jnp.clip(-ny, -1.0, 1.0)
+                theta = _acos_poly(ncy)
+                phi = _atan2_poly(-nz, nx) + math.pi
+                su = phi * (1.0 / (2.0 * math.pi))
+                sv = theta * (1.0 / math.pi)
+                cu = jnp.where(sphf > 0.5, su, cu)
+                cv = jnp.where(sphf > 0.5, sv, cv)
 
             # set_face_normal + normalize
             front = (dx * nx + dy * ny + dz * nz) < 0.0
@@ -718,22 +949,58 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             ny = ny * flip * nlen
             nz = nz * flip * nlen
 
-            # background on miss
-            bgr, bgg, bgb = bake.background
-            lr = lr + jnp.where(miss, tr * bgr, 0.0)
-            lg = lg + jnp.where(miss, tg * bgg, 0.0)
-            lb = lb + jnp.where(miss, tb * bgb, 0.0)
+            px = ox + t_best * dx
+            py = oy + t_best * dy
+            pz = oz + t_best * dz
 
-            # emission (diffuse_light stores its emission in albedo carry)
             is_light = kind == st.DIFFUSE_LIGHT
-            lit = hit & is_light
-            lr = lr + jnp.where(lit, tr * ar, 0.0)
-            lg = lg + jnp.where(lit, tg * ag, 0.0)
-            lb = lb + jnp.where(lit, tb * ab, 0.0)
+            if not record:
+                # -------- deferred texture evaluation (once per bounce) -----
+                # solid: c1.  checker: sign-of-sines select (texture.h:26-46).
+                # perlin family: hash-gradient noise (scene/perlin.py).
+                # Unused families compile away (tex_kinds from the bake).
+                ar, ag, ab = c1r, c1g, c1b
+                if st.TEX_CHECKER in tex_kinds:
+                    sines = (jnp.sin(scale * px) * jnp.sin(scale * py)
+                             * jnp.sin(scale * pz))
+                    odd = (texk == st.TEX_CHECKER) & (sines < 0.0)
+                    ar = jnp.where(odd, c2r, ar)
+                    ag = jnp.where(odd, c2g, ag)
+                    ab = jnp.where(odd, c2b, ab)
+                if tex_kinds & {st.TEX_NOISE, st.TEX_TURB, st.TEX_MARBLE}:
+                    spx, spy, spz = scale * px, scale * py, scale * pz
+                    turb_v = _turb3(spx, spy, spz)
+                    if st.TEX_NOISE in tex_kinds:
+                        gray = 0.5 * (1.0 + _noise3(spx, spy, spz))
+                        sel = texk == st.TEX_NOISE
+                        ar = jnp.where(sel, gray, ar)
+                        ag = jnp.where(sel, gray, ag)
+                        ab = jnp.where(sel, gray, ab)
+                    if st.TEX_TURB in tex_kinds:
+                        sel = texk == st.TEX_TURB
+                        ar = jnp.where(sel, turb_v, ar)
+                        ag = jnp.where(sel, turb_v, ag)
+                        ab = jnp.where(sel, turb_v, ab)
+                    if st.TEX_MARBLE in tex_kinds:
+                        marble = 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * turb_v))
+                        sel = texk == st.TEX_MARBLE
+                        ar = jnp.where(sel, marble, ar)
+                        ag = jnp.where(sel, marble, ag)
+                        ab = jnp.where(sel, marble, ab)
+
+                # background on miss
+                bgr, bgg, bgb = bake.background
+                lr = lr + jnp.where(miss, tr * bgr, 0.0)
+                lg = lg + jnp.where(miss, tg * bgg, 0.0)
+                lb = lb + jnp.where(miss, tb * bgb, 0.0)
+
+                # emission (diffuse_light emits its texture color)
+                lit = hit & is_light
+                lr = lr + jnp.where(lit, tr * ar, 0.0)
+                lg = lg + jnp.where(lit, tg * ag, 0.0)
+                lb = lb + jnp.where(lit, tb * ab, 0.0)
 
             # ---------------- scatter --------------------------------------
-            salt0 = b * jnp.int32(16)
-            draw = rng_base + jnp.uint32(salt0) * jnp.uint32(0x68E31DA4)
             uvx, uvy, uvz = _unit_vector(draw, 0)
             svx, svy, svz = _in_sphere(draw, 3)
             u_choice = _uniform(draw, 7)
@@ -804,14 +1071,12 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             ok_mask = (~is_metal | metal_ok) & ~is_light
             cont = hit & ok_mask
 
-            # throughput *= attenuation (dielectric attenuates by 1)
-            tr = jnp.where(cont & ~is_diel, tr * ar, tr)
-            tg = jnp.where(cont & ~is_diel, tg * ag, tg)
-            tb = jnp.where(cont & ~is_diel, tb * ab, tb)
+            if not record:
+                # throughput *= attenuation (dielectric attenuates by 1)
+                tr = jnp.where(cont & ~is_diel, tr * ar, tr)
+                tg = jnp.where(cont & ~is_diel, tg * ag, tg)
+                tb = jnp.where(cont & ~is_diel, tb * ab, tb)
 
-            px = ox + t_best * dx
-            py = oy + t_best * dy
-            pz = oz + t_best * dz
             if record:
                 packed = (mid
                           | (hit.astype(jnp.int32) << 16)
@@ -834,12 +1099,28 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             return (ox, oy, oz, dx, dy, dz, tm, tr, tg, tb, lr, lg, lb,
                     jnp.where(cont, 1.0, 0.0))
 
+        if record:
+            # the early-exited bounces never write: pre-zero the packed
+            # mask/mat plane so phase-2 shading sees hit=cont=miss=0 there
+            mid_ref[...] = jnp.zeros(mid_ref.shape, jnp.int32)
+
         ones = jnp.ones(shape)
         zeros = jnp.zeros(shape)
         state = (ox_ref[:], oy_ref[:], oz_ref[:],
                  dx_ref[:], dy_ref[:], dz_ref[:], tm_ref[:],
                  ones, ones, ones, zeros, zeros, zeros, ones)
-        state = jax.lax.fori_loop(0, max_depth, bounce, state)
+
+        # early exit: the whole tile stops as soon as every lane is dead
+        # (the reference breaks per-thread, render.h:60-79; at depth-50
+        # defaults most lanes die within ~8 bounces)
+        def w_cond(bs):
+            return (bs[0] < max_depth) & jnp.any(bs[-1] > 0.5)
+
+        def w_body(bs):
+            b = bs[0]
+            return (b + 1, *bounce(b, bs[1:]))
+
+        state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), *state))[1:]
         if not record:
             lr_ref[:] = state[10]
             lg_ref[:] = state[11]
@@ -900,7 +1181,11 @@ def _run(bake_key, seed, sph_table, tri_table, tri_nodes, tri_links, tri_leaf,
     return out
 
 
-# bakes are static (hashable) via an interning table keyed by id
+# Bakes are static (hashable) jit args via an interning table keyed by
+# CONTENT digest: identical scenes share one entry (and one compiled
+# program), and a key can never alias a different scene (the round-1 id()
+# scheme could after gc).  Entries live as long as the process — the same
+# lifetime as the jit cache entries that reference them.
 _BAKES: dict = {}
 
 
@@ -911,8 +1196,8 @@ class PallasTracer:
         if not supports_scene(scene):
             raise ValueError("scene uses features outside the pallas kernel set")
         self.bake = bake_scene(scene)
-        self.key = ("bake", id(self.bake))
-        _BAKES[self.key] = self.bake
+        self.key = ("bake", self.bake.digest)
+        _BAKES.setdefault(self.key, self.bake)
         sph = self.bake.sphere_table
         self.sph_table = jnp.asarray(sph if len(sph) else
                                      np.zeros((1, 24), np.float32))
@@ -929,11 +1214,13 @@ class PallasTracer:
                          if len(self.bake.tri_leaf)
                          else jnp.full((1, 1), -1, jnp.int32))
         # phase-2 shading reads hit points only for position-dependent
-        # textures (checker) and uv only for image textures — see walk()
+        # textures (checker + perlin family) and uv only for image textures
+        # — see walk()
         host = jax.device_get(scene)
         by_class = _used_tex_kinds_by_class(host)
         used_kinds = set().union(*by_class.values())
-        self.need_p = bool(used_kinds & {st.TEX_CHECKER})
+        self.need_p = bool(used_kinds & {st.TEX_CHECKER, st.TEX_NOISE,
+                                         st.TEX_TURB, st.TEX_MARBLE})
         self.need_uv = bool(used_kinds & {st.TEX_IMAGE})
 
     def _tile_args(self, o, d, tm, key):
@@ -965,8 +1252,9 @@ class PallasTracer:
     def walk(self, o, d, tm, key, max_depth=50, t_min=0.001):
         """Phase-1 detached path walk -> engine.integrator.BounceData.
 
-        The kernel records (mat_id, hit point, masks) per bounce; u/v are
-        zeros (supported texture kinds never read them).  Feed the result to
+        The kernel records (mat_id, masks) per bounce, plus hit points when
+        any position-dependent texture (checker/perlin) is used and uv when
+        image textures are.  Feed the result to
         `engine.integrator.shade_radiance` for the differentiable phase 2.
         """
         from ..engine.integrator import BounceData

@@ -1,0 +1,191 @@
+"""All five BASELINE benchmark configs + the scaling-efficiency harness.
+
+BASELINE.md declares five workloads (BASELINE.json:6-12).  `bench.py` reports
+the single north-star line (config 3, fwd+bwd) for the driver; this script
+measures every config and the rays/s-vs-device-count scaling curve, emitting
+one JSON line per result:
+
+    python bench_all.py                 # all 5 configs on the default backend
+    python bench_all.py --spp-scale 8   # 1/8 spp (rays/s is intensive)
+    python bench_all.py --scaling       # dp = 1,2,4,8 scaling harness
+    python bench_all.py --json-out BENCH_ALL.json
+
+Configs (resolution/spp from BASELINE.md; depth documented here since the
+baseline leaves it unspecified — the reference default is 50, render.h:27):
+
+  1 first          400x225   16 spp  depth 8   forward   (CPU-runnable)
+  2 big_scene1     800x450   32 spp  depth 16  forward   (~500 spheres, BVH,
+                                                          motion blur+defocus)
+  3 cornell_box    512x512   64 spp  depth 8   fwd+bwd   (north star)
+  4 cornell_smoke  512x512  128 spp  depth 16  forward   (media + perlin set)
+  5 backpack       800x600  256 spp  depth 16  forward   (~100k tris, image
+                                                          textures, BVH)
+
+The scaling harness runs config 1 over (sp=1, dp=N) meshes.  On a real
+multi-chip platform it measures the BASELINE >=80% strong-scaling target; on
+the CPU virtual mesh (2 physical cores behind 8 XLA devices) it validates the
+sharding mechanics and reports the curve for the record, not the target.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _rays(settings) -> int:
+    return settings.num_pixels * settings.spp_per_chunk * settings.num_chunks
+
+
+def _time_chunks(chunk_fn, key, num_chunks: int) -> float:
+    """Compile, then time num_chunks sequential chunk calls."""
+    keys = [jax.random.fold_in(key, c) for c in range(num_chunks)]
+    jax.block_until_ready(keys)
+    jax.block_until_ready(chunk_fn(keys[0]))  # compile
+    t0 = time.perf_counter()
+    out = None
+    for k in keys:
+        out = chunk_fn(k)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def bench_forward(name: str, width: int, aspect: float, spp: int, depth: int,
+                  spp_scale: int, ray_batch: int = 65536) -> dict:
+    from raytracing_gpu_tpu.core.config import RenderSettings
+    from raytracing_gpu_tpu.engine.render import compile_renderer
+    from raytracing_gpu_tpu.models import scenes
+
+    spp_run = max(1, spp // spp_scale)
+    chunks = max(1, min(4, spp_run))  # amortize over >=1 chunk boundaries
+    per_chunk = max(1, spp_run // chunks)
+    sd = scenes.get(name)
+    st = RenderSettings(image_width=width, aspect_ratio=aspect,
+                        spp_per_chunk=per_chunk, num_chunks=chunks,
+                        max_depth=depth, ray_batch=ray_batch)
+    chunk = compile_renderer(sd.scene, sd.camera, st)
+    dt = _time_chunks(chunk, jax.random.PRNGKey(1984), chunks)
+    mrays = _rays(st) / dt / 1e6
+    return dict(scene=name, mode="forward",
+                shape=f"{st.image_width}x{st.image_height}",
+                spp=st.rays_per_pixel, spp_declared=spp, depth=depth,
+                seconds=round(dt, 4), mrays_per_s=round(mrays, 3))
+
+
+def bench_fwd_bwd(spp_scale: int) -> dict:
+    """Config 3 — identical workload to bench.py."""
+    from raytracing_gpu_tpu.core.config import RenderSettings
+    from raytracing_gpu_tpu.engine import diff
+    from raytracing_gpu_tpu.engine.render import compile_param_renderer
+    from raytracing_gpu_tpu.models import scenes
+
+    spp_run = max(8, 64 // spp_scale)
+    sd = scenes.get("cornell_box")
+    st = RenderSettings(image_width=512, aspect_ratio=1.0, spp_per_chunk=8,
+                        num_chunks=spp_run // 8, max_depth=8, ray_batch=65536)
+    param_chunk = compile_param_renderer(sd.scene, sd.camera, st)
+    params = diff.get_params(sd.scene)
+    key = jax.random.PRNGKey(1984)
+    target = jnp.zeros_like(param_chunk(params, key))
+
+    @jax.jit
+    def fwd_bwd(p, k):
+        def loss_fn(pp):
+            return jnp.mean((param_chunk(pp, k) - target) ** 2)
+        return jax.value_and_grad(loss_fn)(p)
+
+    dt = _time_chunks(lambda k: fwd_bwd(params, k)[1], key, st.num_chunks)
+    mrays = _rays(st) / dt / 1e6
+    return dict(scene="cornell_box", mode="fwd+bwd", shape="512x512",
+                spp=st.rays_per_pixel, spp_declared=64, depth=8,
+                seconds=round(dt, 4), mrays_per_s=round(mrays, 3))
+
+
+def bench_scaling(dps=(1, 2, 4, 8)) -> list:
+    """rays/s vs dp-axis size (strong scaling, fixed total work)."""
+    from raytracing_gpu_tpu.core.config import RenderSettings
+    from raytracing_gpu_tpu.models import scenes
+    from raytracing_gpu_tpu.parallel.mesh import make_mesh
+    from raytracing_gpu_tpu.parallel.render import compile_sharded_renderer
+
+    sd = scenes.get("first")
+    st = RenderSettings(image_width=400, aspect_ratio=16 / 9, spp_per_chunk=8,
+                        num_chunks=1, max_depth=8, ray_batch=8192)
+    n_dev = len(jax.devices())
+    out = []
+    base = None
+    for dp in dps:
+        if dp > n_dev:
+            break
+        mesh = make_mesh(n_sp=1, n_dp=dp, devices=jax.devices()[:dp])
+        chunk = compile_sharded_renderer(sd.scene, sd.camera, st, mesh)
+        dt = _time_chunks(chunk, jax.random.PRNGKey(7), 2) / 2
+        rate = _rays(st) / dt / 1e6
+        if base is None:
+            base = rate
+        eff = rate / (base * dp)
+        out.append(dict(mode="scaling", devices=dp, backend=jax.default_backend(),
+                        mrays_per_s=round(rate, 3), efficiency=round(eff, 3)))
+    return out
+
+
+CONFIGS = [
+    ("first", 400, 16 / 9, 16, 8),
+    ("big_scene1", 800, 16 / 9, 32, 16),
+    # config 3 handled by bench_fwd_bwd
+    ("cornell_smoke", 512, 1.0, 128, 16),
+    ("backpack", 800, 4 / 3, 256, 16),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp-scale", type=int, default=1,
+                    help="divide declared spp by this (rays/s is intensive)")
+    ap.add_argument("--scaling", action="store_true",
+                    help="also run the dp=1,2,4,8 scaling harness")
+    ap.add_argument("--configs", default="1,2,3,4,5",
+                    help="comma-separated subset of configs to run")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+    run = {int(c) for c in args.configs.split(",")}
+
+    results = []
+    if 1 in run:
+        results.append(bench_forward("first", 400, 16 / 9, 16, 8, args.spp_scale))
+        print(json.dumps(results[-1]), flush=True)
+    if 2 in run:
+        results.append(bench_forward("big_scene1", 800, 16 / 9, 32, 16,
+                                     args.spp_scale))
+        print(json.dumps(results[-1]), flush=True)
+    if 3 in run:
+        results.append(bench_fwd_bwd(args.spp_scale))
+        print(json.dumps(results[-1]), flush=True)
+    if 4 in run:
+        results.append(bench_forward("cornell_smoke", 512, 1.0, 128, 16,
+                                     args.spp_scale))
+        print(json.dumps(results[-1]), flush=True)
+    if 5 in run:
+        results.append(bench_forward("backpack", 800, 4 / 3, 256, 16,
+                                     args.spp_scale))
+        print(json.dumps(results[-1]), flush=True)
+    if args.scaling:
+        for row in bench_scaling():
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(dict(backend=jax.default_backend(),
+                           device=str(jax.devices()[0]),
+                           spp_scale=args.spp_scale, results=results), f,
+                      indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -213,12 +213,18 @@ def triangles_scene(**kw) -> SceneDef:
     return SceneDef(b.build(**kw), _cam((0, 0, -3), (0, 0, 0), 40, 16 / 9), 16 / 9)
 
 
-def _add_obj(b: SceneBuilder, path: str, fallback: str, scale: float = 1.0) -> None:
+def _add_obj(b: SceneBuilder, path: str, fallback: str, scale: float = 1.0,
+             standin_res=(224, 224)) -> None:
     """Load an OBJ into the builder, one lambertian + image texture per submesh
     (the reference's one-diffuse-texture-per-mesh pipeline,
     `triangle_mesh.h:147-204`).  When the OBJ itself is unavailable (large
     blobs stripped from the reference mount), substitutes a procedural
-    stand-in mesh textured with the asset's real diffuse map."""
+    stand-in mesh textured with the asset's real diffuse map.
+
+    standin_res (224, 224) gives 2*224*224 = 100,352 triangles — matching the
+    ~100k-triangle scale of the real backpack/cup assets (BASELINE config 5),
+    so the BVH depth (~17 levels) and traversal cost are exercised even with
+    the OBJ blobs stripped from the reference mount."""
     from ..io.obj import load_obj
 
     if os.path.exists(path):
@@ -233,7 +239,7 @@ def _add_obj(b: SceneBuilder, path: str, fallback: str, scale: float = 1.0) -> N
     else:
         warnings.warn(f"{path} missing (stripped asset); using procedural stand-in")
         tex = b.image(fallback) if os.path.exists(fallback) else b.solid((0.8, 0.2, 0.2))
-        v, f, uvs, n = _uv_sphere(48, 96)
+        v, f, uvs, n = _uv_sphere(*standin_res)
         b.mesh(v, f, b.lambertian(tex), uvs=uvs, normals=n, scale=scale)
 
 

@@ -168,16 +168,69 @@ def shade_radiance(scene: Scene, data: BounceData) -> Array:
     compared to the path walk.
     """
     n = data.mat_id.shape[1]
+    # mask-MULTIPLY form, not jnp.where, with the bool->f32 conversion OUTSIDE
+    # the scan: identical values (masks are exactly 0/1, all operands finite),
+    # but the residuals the enclosing spp/wave scans store for the backward
+    # pass become plain f32[D,N] tensors.  With jnp.where on preds, the TPU
+    # profile showed >50% of the whole fwd+bwd step in dynamic-update-slices
+    # of bit-packed pred[D,N,3] residual stacks (tiling (8,128)(4,1) —
+    # read-modify-write per word).
+    h_all = data.hit.astype(jnp.float32)
+    m_all = data.miss.astype(jnp.float32)
+    c_all = data.cont.astype(jnp.float32)
 
-    def step(throughput, b):
-        att, emit = materials_mod.shade(scene, b.mat_id, b.u, b.v, b.p)
-        contrib = jnp.where(b.miss[:, None], throughput * scene.background, 0.0)
-        contrib = contrib + jnp.where(b.hit[:, None], throughput * emit, 0.0)
-        throughput = jnp.where(b.cont[:, None], throughput * att, throughput)
+    def step(throughput, x):
+        mat_id, u, v, p, h, m, c = x
+        att, emit = materials_mod.shade(scene, mat_id, u, v, p)
+        contrib = throughput * (m[:, None] * scene.background
+                                + h[:, None] * emit)
+        throughput = throughput * (c[:, None] * att + (1.0 - c[:, None]))
         return throughput, contrib
 
-    _, contribs = jax.lax.scan(step, jnp.ones((n, 3), jnp.float32), data)
+    _, contribs = jax.lax.scan(
+        step, jnp.ones((n, 3), jnp.float32),
+        (data.mat_id, data.u, data.v, data.p, h_all, m_all, c_all))
     return contribs.sum(axis=0)
+
+
+def unpack_walk(planes, need_p: bool, need_uv: bool) -> BounceData:
+    """Raw record planes (ops.pallas_trace.walk_packed) -> BounceData.
+
+    planes = (packed (D, N) i32, [px, py, pz,] [u, v]) — the masks live in
+    bits 16-18 of the packed plane and absent planes become zeros here.
+    """
+    packed = planes[0]
+    max_depth, n = packed.shape
+    zeros = jnp.zeros((max_depth, n), jnp.float32)
+    i = 1
+    if need_p:
+        p = jnp.stack([planes[i], planes[i + 1], planes[i + 2]], axis=-1)
+        i += 3
+    else:
+        p = jnp.zeros((max_depth, n, 3), jnp.float32)
+    if need_uv:
+        u, v = planes[i], planes[i + 1]
+    else:
+        u = v = zeros
+    return BounceData(
+        mat_id=packed & 0xFFFF, u=u, v=v, p=p,
+        hit=(packed & (1 << 16)) != 0, cont=(packed & (1 << 17)) != 0,
+        miss=(packed & (1 << 18)) != 0,
+    )
+
+
+def shade_packed(scene: Scene, *planes, need_p: bool, need_uv: bool) -> Array:
+    """Phase 2 over RAW record planes: unpack + shade in one step.
+
+    Designed to sit under `jax.checkpoint`: the only residual the outer
+    spp/wave scans then store is the compact packed i32 plane (2 MB per
+    65k-ray wave at depth 8) — the unpacked bool masks, the broadcast zero
+    p/uv planes, and the product-chain intermediates are all re-derived in
+    the backward pass.  Without this, the TPU profile showed ~60% of the
+    fwd+bwd step in dynamic-update-slices materializing pred[D,N,3]
+    residual stacks.
+    """
+    return shade_radiance(scene, unpack_walk(planes, need_p, need_uv))
 
 
 def trace_diff(

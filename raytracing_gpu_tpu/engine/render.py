@@ -145,7 +145,7 @@ def compile_param_renderer(scene: Scene, camera: Camera,
     is XLA autodiff — the backward pass never sees the walk at all.
     """
     from . import diff
-    from .integrator import shade_radiance
+    from .integrator import shade_packed
 
     trace_fn = trace_diff
     if engine in ("auto", "pallas"):
@@ -154,11 +154,20 @@ def compile_param_renderer(scene: Scene, camera: Camera,
         on_tpu = jax.default_backend() == "tpu"
         if pallas_trace.supports_scene(scene) and (on_tpu or engine == "pallas"):
             tracer = pallas_trace.PallasTracer(scene)
+            # phase-2 over the RAW packed record planes: the outer spp/wave
+            # scans save one compact i32 plane per wave as the walk residual
+            # and shade_packed re-derives the masks.  Measured on TPU:
+            # jax.checkpoint around the shade is 8x SLOWER here (the remat
+            # replay inside the triple-nested scan backward defeats fusion),
+            # so the shade is differentiated directly — its residuals are
+            # kept lean by the mask-multiply form in shade_radiance.
+            sp_fn = partial(shade_packed, need_p=tracer.need_p,
+                            need_uv=tracer.need_uv)
 
             def trace_fn(scene_p, o, d, tm, k, max_depth, t_min):
-                data = tracer.walk(o, d, tm, k, max_depth=max_depth,
-                                   t_min=t_min)
-                return shade_radiance(scene_p, data)
+                planes = tracer.walk_packed(o, d, tm, k, max_depth=max_depth,
+                                            t_min=t_min)
+                return sp_fn(scene_p, *planes)
         elif engine == "pallas":
             raise ValueError("scene not supported by the pallas megakernel")
 

@@ -1249,16 +1249,18 @@ class PallasTracer:
         out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)], axis=-1)
         return out[:n]
 
-    def walk(self, o, d, tm, key, max_depth=50, t_min=0.001):
-        """Phase-1 detached path walk -> engine.integrator.BounceData.
+    def walk_packed(self, o, d, tm, key, max_depth=50, t_min=0.001):
+        """Phase-1 detached path walk -> tuple of RAW record planes.
 
-        The kernel records (mat_id, masks) per bounce, plus hit points when
-        any position-dependent texture (checker/perlin) is used and uv when
-        image textures are.  Feed the result to
-        `engine.integrator.shade_radiance` for the differentiable phase 2.
+        Returns (packed (D, N) i32, *extra) where packed holds mat_id in the
+        low 16 bits and hit/cont/miss in bits 16-18; extra is (px, py, pz)
+        when the scene needs hit points and (u, v) when it needs uv.  Keeping
+        the walk's residual in this compact form (instead of unpacked bool
+        planes) is what makes the differentiable path fast: the outer
+        spp/wave scans store ONE i32 plane per wave and the checkpointed
+        phase-2 (engine.integrator.shade_packed) re-derives the masks in the
+        backward pass.
         """
-        from ..engine.integrator import BounceData
-
         interpret = jax.default_backend() != "tpu"
         n, seed, args = self._tile_args(o, d, tm, key)
         out = _run(
@@ -1269,21 +1271,20 @@ class PallasTracer:
             n_tri_nodes=self.n_tri_nodes,
         )
         flat = lambda a: a.reshape(max_depth, -1)[:, :n]
-        packed = flat(out[0])
-        zeros = jnp.zeros((max_depth, n), jnp.float32)
-        i = 1
-        if self.need_p:
-            p = jnp.stack([flat(out[i]), flat(out[i + 1]), flat(out[i + 2])],
-                          axis=-1)
-            i += 3
-        else:
-            p = jnp.zeros((max_depth, n, 3), jnp.float32)
-        if self.need_uv:
-            u, v = flat(out[i]), flat(out[i + 1])
-        else:
-            u = v = zeros
-        return BounceData(
-            mat_id=packed & 0xFFFF, u=u, v=v, p=p,
-            hit=(packed & (1 << 16)) != 0, cont=(packed & (1 << 17)) != 0,
-            miss=(packed & (1 << 18)) != 0,
-        )
+        return tuple(flat(a) for a in out)
+
+    def walk(self, o, d, tm, key, max_depth=50, t_min=0.001):
+        """Phase-1 detached path walk -> engine.integrator.BounceData.
+
+        The kernel records (mat_id, masks) per bounce, plus hit points when
+        any position-dependent texture (checker/perlin) is used and uv when
+        image textures are.  Feed the result to
+        `engine.integrator.shade_radiance` for the differentiable phase 2.
+        (The fast differentiable path uses `walk_packed` + `shade_packed`
+        instead — see there.)
+        """
+        from ..engine.integrator import unpack_walk
+
+        planes = self.walk_packed(o, d, tm, key, max_depth=max_depth,
+                                  t_min=t_min)
+        return unpack_walk(planes, self.need_p, self.need_uv)

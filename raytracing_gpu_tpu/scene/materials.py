@@ -139,11 +139,21 @@ def _fast_shade(scene: Scene, mat_id: Array, p: Array):
     c1, c2, scale = feats[..., 0:3], feats[..., 3:6], feats[..., 6]
     is_chk, is_diel, is_light = feats[..., 7:8], feats[..., 8:9], feats[..., 9:10]
 
-    sines = (jnp.sin(scale * p[..., 0]) * jnp.sin(scale * p[..., 1])
-             * jnp.sin(scale * p[..., 2]))
-    albedo = jnp.where((is_chk > 0.5) & (sines < 0.0)[..., None], c2, c1)
-    attenuation = jnp.where(is_diel > 0.5, 1.0, albedo)
-    emitted = jnp.where(is_light > 0.5, albedo, 0.0)
+    # mask-multiply, not jnp.where: the flags are exactly 0/1, and f32
+    # arithmetic keeps the AD residuals out of bit-packed pred tilings
+    # (see integrator.shade_radiance).  The checker branch is gated on the
+    # STATIC texture-kind table: checker-free scenes otherwise pay a
+    # (D,N,1)-stacked sines residual per bounce (is_chk rides the traced
+    # feature matmul, so XLA cannot fold it away on its own).
+    if np.any(tkind == TEX_CHECKER):
+        sines = (jnp.sin(scale * p[..., 0]) * jnp.sin(scale * p[..., 1])
+                 * jnp.sin(scale * p[..., 2]))
+        odd = is_chk * (sines < 0.0).astype(feats.dtype)[..., None]
+        albedo = c1 + odd * (c2 - c1)
+    else:
+        albedo = c1
+    attenuation = albedo + is_diel * (1.0 - albedo)
+    emitted = is_light * albedo
     return attenuation, emitted
 
 
@@ -160,11 +170,12 @@ def shade(scene: Scene, mat_id: Array, u: Array, v: Array, p: Array):
     mats = scene.materials
     kind = mats.kind[mat_id]
     tex_color = eval_texture(scene, mats.tex_id[mat_id], u, v, p)
-    is_diel = kind == DIELECTRIC
-    is_light = kind == DIFFUSE_LIGHT
-    white = jnp.ones_like(tex_color)
-    attenuation = jnp.where(is_diel[..., None], white, tex_color)
-    emitted = jnp.where(is_light[..., None], tex_color, jnp.zeros_like(tex_color))
+    # f32 mask-multiplies keep the AD residuals of the enclosing scans in
+    # efficiently-tiled f32 stacks (see integrator.shade_radiance)
+    is_diel = (kind == DIELECTRIC).astype(tex_color.dtype)[..., None]
+    is_light = (kind == DIFFUSE_LIGHT).astype(tex_color.dtype)[..., None]
+    attenuation = tex_color + is_diel * (1.0 - tex_color)
+    emitted = is_light * tex_color
     return attenuation, emitted
 
 

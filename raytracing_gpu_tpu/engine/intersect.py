@@ -109,10 +109,11 @@ def _sphere_record(sp, idx: Array, o, d, tm, t):
     p = o + t[..., None] * d
     radius = sp.radius[idx]
     outward = (p - center) / jnp.where(jnp.abs(radius) < _EPS_DIV, 1.0, radius)[..., None]
-    # get_sphere_uv (sphere.h:19-32)
+    # get_sphere_uv (sphere.h:19-32); u_off bakes a rotate_y instance's
+    # object-space uv phase (hittable.h:64-143)
     theta = jnp.arccos(jnp.clip(-outward[..., 1], -1.0, 1.0))
     phi = jnp.arctan2(-outward[..., 2], outward[..., 0]) + jnp.pi
-    u = phi / (2.0 * jnp.pi)
+    u = (phi / (2.0 * jnp.pi) + sp.u_off[idx]) % 1.0
     v = theta / jnp.pi
     return outward, u, v, sp.mat_id[idx]
 

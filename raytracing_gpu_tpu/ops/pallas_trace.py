@@ -67,17 +67,29 @@ _EPS = 1e-12
 
 
 class SceneBake(NamedTuple):
-    """Host-side snapshot of everything the kernel bakes or streams."""
+    """Host-side snapshot of everything the kernel bakes or streams.
+
+    Primitive tables are LEAF-CONTIGUOUS: the BVH leaf at node i owns rows
+    [start[i], start[i] + leaf_k) of its table (padded with rows that can
+    never hit), so a leaf visit is one contiguous read — scalar VMEM loads
+    for resident tables, a single DMA for HBM-streamed ones.
+    """
 
     rects: list            # dicts of python floats
     boxes: list
     sphere_media: list     # constant-medium sphere boundaries (unrolled)
     box_media: list        # constant-medium box boundaries (unrolled)
     sphere_table: np.ndarray  # (S, 24) float32 denormalized SOLID sphere rows
+    sph_nodes: np.ndarray     # (Ms, 6) float32 sphere-BVH bounds (empty = dense loop)
+    sph_links: np.ndarray     # (Ms, 2) int32 threaded (hit, miss) links
+    sph_start: np.ndarray     # (Ms, 1) int32 leaf start row (-1 = internal)
+    sph_leaf_k: int
     tri_table: np.ndarray     # (T, 40) float32 denormalized triangle rows
     tri_nodes: np.ndarray     # (M, 6) float32 BVH node bounds (min, max)
     tri_links: np.ndarray     # (M, 2) int32 threaded (hit, miss) links
-    tri_leaf: np.ndarray      # (M, K) int32 leaf primitive ids (-1 pad)
+    tri_start: np.ndarray     # (M, 1) int32 leaf start row (-1 = internal)
+    tri_leaf_k: int
+    tri_stream: bool          # True: tri_table stays in HBM, leaves are DMA'd
     background: tuple
     sky: bool
     digest: str            # content hash — the jit static-arg identity
@@ -91,10 +103,21 @@ _TRI_KIND, _TRI_FUZZ, _TRI_IR, _TRI_MAT = 24, 25, 26, 27
 _TRI_C1, _TRI_C2, _TRI_SCALE, _TRI_TEXK = 28, 31, 34, 35
 _TRI_COLS = 40
 
+# Mosaic pads a VMEM-resident (N, C) table's minor dim to 128 lanes, so a
+# table costs N*512 bytes of VMEM regardless of C.  Above this row count the
+# triangle table stays in HBM and leaves are DMA'd into a scratch buffer
+# (~8 MB of a ~16 MB/core budget at the threshold).
+_TRI_STREAM_MIN = 16384
+_TRI_LEAF_K = 4         # resident-table leaf size (unchanged from round 1)
+_TRI_STREAM_LEAF_K = 64  # streamed leaf size: fewer/fatter leaves -> fewer
+                         # DMAs and a small node table (100k tris -> ~3k nodes)
+_SPH_BVH_MIN = 64        # dense sphere loop below this many rows
+_SPH_LEAF_K = 8
+
 # sphere row column layout (see bake_scene)
 _SPH_C0, _SPH_C1, _SPH_T0, _SPH_T1, _SPH_RAD, _SPH_KIND = 0, 3, 6, 7, 8, 9
 _SPH_A1, _SPH_A2, _SPH_SCALE, _SPH_FUZZ, _SPH_IR = 10, 13, 16, 17, 18
-_SPH_TEXK, _SPH_MAT = 19, 20
+_SPH_TEXK, _SPH_MAT, _SPH_UOFF = 19, 20, 21
 _MAX_MEDIA = 16  # RNG salt slots reserved per bounce for media free paths
 
 
@@ -222,25 +245,77 @@ def bake_scene(scene: st.Scene) -> SceneBake:
             sh["c1"][0], sh["c1"][1], sh["c1"][2],
             sh["c2"][0], sh["c2"][1], sh["c2"][2],
             sh["scale"], sh["fuzz"], sh["ir"], float(sh["texk"]),
-            float(sh["mat"]), 0.0, 0.0, 0.0,  # mat id + pad to 24 columns
+            float(sh["mat"]), float(np.asarray(sp.u_off[i])),  # uv phase
+            0.0, 0.0,  # pad to 24 columns
         ])
     table = (np.asarray(rows, np.float32) if rows
              else np.zeros((0, 24), np.float32))
-    tri_table, tri_nodes, tri_links, tri_leaf = _bake_triangles(scene)
+    # Sphere-heavy scenes (big_scene1: ~484) get a packet-walked BVH like
+    # triangles; small scenes keep the cheaper dense candidate loop.
+    sph_nodes = np.zeros((0, 6), np.float32)
+    sph_links = np.zeros((0, 2), np.int32)
+    sph_start = np.full((0, 1), -1, np.int32)
+    if len(table) > _SPH_BVH_MIN:
+        from ..accel import bvh as bvh_mod
+
+        c0s = table[:, _SPH_C0:_SPH_C0 + 3]
+        c1s = table[:, _SPH_C1:_SPH_C1 + 3]
+        rr = np.abs(table[:, _SPH_RAD:_SPH_RAD + 1])
+        # moving spheres: union of the t0/t1 boxes (moving_sphere.h bbox)
+        bvh = bvh_mod.build(np.minimum(c0s, c1s) - rr,
+                            np.maximum(c0s, c1s) + rr, leaf_size=_SPH_LEAF_K)
+        table, sph_nodes, sph_links, sph_start = _leaf_contiguous(
+            table, bvh, _SPH_LEAF_K)
+    tri_table, tri_nodes, tri_links, tri_start, tri_leaf_k, tri_stream = \
+        _bake_triangles(scene)
     bg = tuple(float(x) for x in np.asarray(scene.background))
 
     h = __import__("hashlib").sha256()
-    for part in (rects, boxes, sphere_media, box_media, bg):
+    for part in (rects, boxes, sphere_media, box_media, bg,
+                 tri_leaf_k, tri_stream, _SPH_LEAF_K):
         h.update(repr(part).encode())
-    for arr in (table, tri_table, tri_nodes, tri_links, tri_leaf):
+    for arr in (table, sph_nodes, sph_links, sph_start,
+                tri_table, tri_nodes, tri_links, tri_start):
         h.update(str(arr.shape).encode())
         h.update(np.ascontiguousarray(arr).tobytes())
     return SceneBake(rects=rects, boxes=boxes, sphere_media=sphere_media,
                      box_media=box_media, sphere_table=table,
+                     sph_nodes=sph_nodes, sph_links=sph_links,
+                     sph_start=sph_start, sph_leaf_k=_SPH_LEAF_K,
                      tri_table=tri_table, tri_nodes=tri_nodes,
-                     tri_links=tri_links, tri_leaf=tri_leaf,
+                     tri_links=tri_links, tri_start=tri_start,
+                     tri_leaf_k=tri_leaf_k, tri_stream=tri_stream,
                      background=bg, sky=bg != (0.0, 0.0, 0.0),
                      digest=h.hexdigest())
+
+
+def _leaf_contiguous(rows: np.ndarray, bvh, leaf_k: int):
+    """Reorder primitive rows so each BVH leaf owns a fixed contiguous slot.
+
+    Returns (table, nodes, links, start) where table row `start[i] + k` is
+    leaf i's k-th primitive (slots past the leaf's count hold an all-zero row,
+    which no candidate test can accept: triangles fail |det| > 1e-7, spheres
+    fail radius != 0).  One contiguous range per leaf is what makes the visit
+    a single DMA in streamed mode and branch-free scalar reads otherwise.
+    """
+    lp = np.asarray(bvh.leaf_prims)
+    m = lp.shape[0]
+    assert lp.shape[1] <= leaf_k
+    start = np.full((m, 1), -1, np.int32)
+    leaf_nodes = np.nonzero(lp[:, 0] >= 0)[0]
+    start[leaf_nodes, 0] = np.arange(len(leaf_nodes), dtype=np.int32) * leaf_k
+    flat = np.full((len(leaf_nodes), leaf_k), -1, np.int64)
+    flat[:, : lp.shape[1]] = lp[leaf_nodes]
+    flat = flat.reshape(-1)
+    rows_pad = np.concatenate(
+        [rows, np.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
+    src = np.where(flat >= 0, flat, rows.shape[0])
+    table = rows_pad[src]
+    nodes = np.concatenate([np.asarray(bvh.node_min, np.float32),
+                            np.asarray(bvh.node_max, np.float32)], axis=1)
+    links = np.stack([np.asarray(bvh.hit_link, np.int32),
+                      np.asarray(bvh.miss_link, np.int32)], axis=1)
+    return table, nodes, links, start
 
 
 def _bake_triangles(scene):
@@ -248,18 +323,22 @@ def _bake_triangles(scene):
 
     Row layout (40 f32): v0 e1 e2 | n0 n1 n2 (face normal replicated when no
     vertex normals — interpolation is then the constant) | uv0 uv1 uv2 |
-    kind fuzz ir mat | c1 c2 scale checker | pad.  Prim ids in the BVH leaves
-    index this table directly (same order as scene.triangles).
+    kind fuzz ir mat | c1 c2 scale checker | pad.  The table is reordered
+    leaf-contiguous (see _leaf_contiguous); above _TRI_STREAM_MIN active
+    triangles it stays in HBM and the walk DMAs one leaf at a time.
+
+    Returns (table, nodes, links, start, leaf_k, stream).
     """
     tr = scene.triangles
     act = np.asarray(tr.active)
     n_all = act.shape[0]
     if not act.any():
-        # 1-row dummies; the kernel skips the walk entirely when the tracer
+        # 0-row dummies; the kernel skips the walk entirely when the tracer
         # reports n_tri_nodes == 0
-        return (np.zeros((0, _TRI_COLS), np.float32).reshape(0, _TRI_COLS),
+        return (np.zeros((0, _TRI_COLS), np.float32),
                 np.zeros((0, 6), np.float32),
-                np.zeros((0, 2), np.int32), np.full((0, 1), -1, np.int32))
+                np.zeros((0, 2), np.int32), np.full((0, 1), -1, np.int32),
+                _TRI_LEAF_K, False)
 
     rows = np.zeros((n_all, _TRI_COLS), np.float32)
     v0 = np.asarray(tr.v0, np.float32)
@@ -291,35 +370,24 @@ def _bake_triangles(scene):
         rows[i, _TRI_SCALE] = sh["scale"]
         rows[i, _TRI_TEXK] = float(sh["texk"])
 
-    bvh = scene.tri_bvh
-    if bvh is None:
-        # tiny scenes skip the builder's BVH threshold — build one here so
-        # the kernel has a single traversal path
-        from ..accel import bvh as bvh_mod
+    # Build the kernel's own BVH over active triangles (leaf size differs
+    # from the XLA traversal's scene.tri_bvh; the reorder needs leaf-slot
+    # layout anyway).  Host numpy / native SAH — ~100k tris is fast.
+    from ..accel import bvh as bvh_mod
 
-        v1 = v0 + e1
-        v2 = v0 + e2
-        bmin = np.minimum(np.minimum(v0, v1), v2)
-        bmax = np.maximum(np.maximum(v0, v1), v2)
-        flat = (bmax - bmin) < 1e-6
-        bmin = np.where(flat, bmin - bvh_mod.BBOX_PAD, bmin)
-        bmax = np.where(flat, bmax + bvh_mod.BBOX_PAD, bmax)
-        # inactive rows get their real bounds too (never hit: masked by id
-        # list below being built only over active prims)
-        keep = np.nonzero(act)[0].astype(np.int32)
-        bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=4)
-        remap = keep  # leaf ids index the "keep" subset
-        leaf = np.asarray(bvh.leaf_prims)
-        leaf = np.where(leaf >= 0, remap[np.clip(leaf, 0, len(keep) - 1)], -1)
-    else:
-        leaf = np.asarray(bvh.leaf_prims)
-
-    nodes = np.concatenate(
-        [np.asarray(bvh.node_min, np.float32),
-         np.asarray(bvh.node_max, np.float32)], axis=1)  # (M, 6)
-    links = np.stack([np.asarray(bvh.hit_link, np.int32),
-                      np.asarray(bvh.miss_link, np.int32)], axis=1)  # (M, 2)
-    return rows, nodes, links, np.asarray(leaf, np.int32)
+    keep = np.nonzero(act)[0]
+    stream = len(keep) > _TRI_STREAM_MIN
+    leaf_k = _TRI_STREAM_LEAF_K if stream else _TRI_LEAF_K
+    v1 = v0 + e1
+    v2 = v0 + e2
+    bmin = np.minimum(np.minimum(v0, v1), v2)
+    bmax = np.maximum(np.maximum(v0, v1), v2)
+    flat = (bmax - bmin) < 1e-6
+    bmin = np.where(flat, bmin - bvh_mod.BBOX_PAD, bmin)
+    bmax = np.where(flat, bmax + bvh_mod.BBOX_PAD, bmax)
+    bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=leaf_k)
+    table, nodes, links, start = _leaf_contiguous(rows[keep], bvh, leaf_k)
+    return table, nodes, links, start, leaf_k, stream
 
 
 # --------------------------------------------------------------------------
@@ -449,7 +517,6 @@ def _turb3(px, py, pz, depth=7):
 
 
 def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
-                 n_sphere_rows: int, n_tri_nodes: int, leaf_k: int,
                  record: bool = False, need_p: bool = True,
                  need_uv: bool = False):
     """Build the kernel function with the scene baked in.
@@ -480,10 +547,23 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
     if len(bake.tri_table):
         tex_kinds |= {int(k) for k in np.unique(bake.tri_table[:, _TRI_TEXK])}
 
-    def kernel(seed_ref, sph_ref, tri_ref, tnode_ref, tlink_ref, tleaf_ref,
+    n_sphere_rows = len(bake.sphere_table)
+    n_sph_nodes = len(bake.sph_nodes)
+    sph_leaf_k = bake.sph_leaf_k
+    n_tri_nodes = len(bake.tri_nodes)
+    tri_leaf_k = bake.tri_leaf_k
+    tri_stream = bake.tri_stream
+
+    def kernel(seed_ref, sph_ref, snode_ref, slink_ref, sstart_ref,
+               tri_ref, tnode_ref, tlink_ref, tstart_ref,
                ox_ref, oy_ref, oz_ref,
                dx_ref, dy_ref, dz_ref, tm_ref,
-               *out_refs):
+               *rest):
+        if tri_stream:
+            tri_scratch, tri_sem = rest[-2], rest[-1]
+            out_refs = rest[:-2]
+        else:
+            out_refs = rest
         if record:
             it = iter(out_refs)
             mid_ref = next(it)
@@ -639,74 +719,8 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                             prim["c1"], prim["c2"], prim["scale"], prim["texk"],
                             prim["fuzz"], prim["ir"], carry)
 
-            # spheres: stream the denormalized table (scalar reads per row)
-            if n_sphere_rows > 0:
-                def sphere_row(i, carry):
-                    c0x = sph_ref[i, 0]
-                    c0y = sph_ref[i, 1]
-                    c0z = sph_ref[i, 2]
-                    c1x = sph_ref[i, 3]
-                    c1y = sph_ref[i, 4]
-                    c1z = sph_ref[i, 5]
-                    tt0 = sph_ref[i, 6]
-                    tt1 = sph_ref[i, 7]
-                    rad = sph_ref[i, 8]
-                    k_f = sph_ref[i, 9]
-                    a1r = sph_ref[i, 10]
-                    a1g = sph_ref[i, 11]
-                    a1b = sph_ref[i, 12]
-                    a2r = sph_ref[i, 13]
-                    a2g = sph_ref[i, 14]
-                    a2b = sph_ref[i, 15]
-                    csc = sph_ref[i, _SPH_SCALE]
-                    fz = sph_ref[i, _SPH_FUZZ]
-                    irr = sph_ref[i, _SPH_IR]
-                    texk = sph_ref[i, _SPH_TEXK]
-                    m_id = sph_ref[i, _SPH_MAT]
-
-                    denom = jnp.where(jnp.abs(tt1 - tt0) < 1e-12, 1.0, tt1 - tt0)
-                    frac = (tm - tt0) / denom
-                    cx = c0x + frac * (c1x - c0x)
-                    cy = c0y + frac * (c1y - c0y)
-                    cz = c0z + frac * (c1z - c0z)
-                    ocx = ox - cx
-                    ocy = oy - cy
-                    ocz = oz - cz
-                    a = dx * dx + dy * dy + dz * dz
-                    hb = ocx * dx + ocy * dy + ocz * dz
-                    cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                    disc = hb * hb - a * cc
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    inv_a = 1.0 / jnp.maximum(a, _EPS)
-                    near = (-hb - sq) * inv_a
-                    far = (-hb + sq) * inv_a
-                    has = disc > 0.0
-                    t = jnp.where(has & (near >= t_min), near,
-                                  jnp.where(has & (far >= t_min), far, BIG))
-                    ok = t < BIG * 0.5
-                    px = ox + t * dx
-                    py = oy + t * dy
-                    pz = oz + t * dz
-                    inv_r = 1.0 / jnp.where(jnp.abs(rad) < _EPS, 1.0, rad)
-                    nxx = (px - cx) * inv_r
-                    nyy = (py - cy) * inv_r
-                    nzz = (pz - cz) * inv_r
-                    # sphere uv is computed AFTER the carry resolves (it needs
-                    # atan2/acos polys — once per bounce, not per row); the
-                    # is_sph carry flag marks the winner as a sphere
-                    return upd(ok, t, nxx, nyy, nzz, k_f.astype(jnp.int32),
-                               m_id.astype(jnp.int32), (a1r, a1g, a1b),
-                               (a2r, a2g, a2b), csc, texk.astype(jnp.int32),
-                               fz, irr, carry, zeros_v, zeros_v, 1.0)
-
-                carry = jax.lax.fori_loop(0, n_sphere_rows, sphere_row, carry)
-
-            # triangles: packet walk over the threaded flat BVH — scalar
-            # node cursor, vector slab test, any() descend decision
-            # (threaded links from accel/bvh.py: hit_link descends / enters
-            # the leaf's successor, miss_link skips the subtree; preorder
-            # links only move forward, so the walk terminates)
-            if n_tri_nodes > 0:
+            # shared slab-test reciprocals for the packet walks
+            if n_sph_nodes > 0 or n_tri_nodes > 0:
                 def inv_safe(v):
                     return 1.0 / jnp.where(jnp.abs(v) < _EPS,
                                            jnp.where(v >= 0, _EPS, -_EPS), v)
@@ -715,86 +729,26 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 ivy = inv_safe(dy)
                 ivz = inv_safe(dz)
 
-                def tri_leaf_tests(node, hit_box, carry):
-                    for kk in range(leaf_k):
-                        pid = tleaf_ref[node, kk]          # scalar i32
-                        safe = jnp.maximum(pid, 0)
-                        v0x = tri_ref[safe, _TRI_V0]
-                        v0y = tri_ref[safe, _TRI_V0 + 1]
-                        v0z = tri_ref[safe, _TRI_V0 + 2]
-                        e1x = tri_ref[safe, _TRI_E1]
-                        e1y = tri_ref[safe, _TRI_E1 + 1]
-                        e1z = tri_ref[safe, _TRI_E1 + 2]
-                        e2x = tri_ref[safe, _TRI_E2]
-                        e2y = tri_ref[safe, _TRI_E2 + 1]
-                        e2z = tri_ref[safe, _TRI_E2 + 2]
-                        # Moller-Trumbore (reference triangle.h:120-178)
-                        hx = dy * e2z - dz * e2y
-                        hy = dz * e2x - dx * e2z
-                        hz = dx * e2y - dy * e2x
-                        a = e1x * hx + e1y * hy + e1z * hz
-                        f = 1.0 / jnp.where(jnp.abs(a) < 1e-7, 1e-7, a)
-                        sx = ox - v0x
-                        sy = oy - v0y
-                        sz = oz - v0z
-                        ub = f * (sx * hx + sy * hy + sz * hz)
-                        qx = sy * e1z - sz * e1y
-                        qy = sz * e1x - sx * e1z
-                        qz = sx * e1y - sy * e1x
-                        vb = f * (dx * qx + dy * qy + dz * qz)
-                        t = f * (e2x * qx + e2y * qy + e2z * qz)
-                        ok = (hit_box & (pid >= 0)
-                              & (jnp.abs(a) > 1e-7)
-                              & (ub >= 0.0) & (ub <= 1.0)
-                              & (vb >= 0.0) & (ub + vb <= 1.0)
-                              & (t >= t_min))
-                        wb = 1.0 - ub - vb
-                        # vertex-normal interpolation (rows hold the face
-                        # normal replicated when the mesh has none)
-                        nxx = (wb * tri_ref[safe, _TRI_N0]
-                               + ub * tri_ref[safe, _TRI_N1]
-                               + vb * tri_ref[safe, _TRI_N2])
-                        nyy = (wb * tri_ref[safe, _TRI_N0 + 1]
-                               + ub * tri_ref[safe, _TRI_N1 + 1]
-                               + vb * tri_ref[safe, _TRI_N2 + 1])
-                        nzz = (wb * tri_ref[safe, _TRI_N0 + 2]
-                               + ub * tri_ref[safe, _TRI_N1 + 2]
-                               + vb * tri_ref[safe, _TRI_N2 + 2])
-                        if need_uv:
-                            uu = (wb * tri_ref[safe, _TRI_UV0]
-                                  + ub * tri_ref[safe, _TRI_UV1]
-                                  + vb * tri_ref[safe, _TRI_UV2])
-                            vv = (wb * tri_ref[safe, _TRI_UV0 + 1]
-                                  + ub * tri_ref[safe, _TRI_UV1 + 1]
-                                  + vb * tri_ref[safe, _TRI_UV2 + 1])
-                        else:
-                            uu = vv = None
-                        carry = upd(
-                            ok, t, nxx, nyy, nzz,
-                            tri_ref[safe, _TRI_KIND].astype(jnp.int32),
-                            tri_ref[safe, _TRI_MAT].astype(jnp.int32),
-                            (tri_ref[safe, _TRI_C1], tri_ref[safe, _TRI_C1 + 1],
-                             tri_ref[safe, _TRI_C1 + 2]),
-                            (tri_ref[safe, _TRI_C2], tri_ref[safe, _TRI_C2 + 1],
-                             tri_ref[safe, _TRI_C2 + 2]),
-                            tri_ref[safe, _TRI_SCALE],
-                            tri_ref[safe, _TRI_TEXK].astype(jnp.int32),
-                            tri_ref[safe, _TRI_FUZZ],
-                            tri_ref[safe, _TRI_IR], carry, uu, vv)
-                    return carry
-
-                def tcond(state):
+            def packet_walk(node_ref, link_ref, start_ref, leaf_fn, carry):
+                """Threaded-BVH walk in PACKET form — the TPU-native answer
+                to per-ray pointer chasing (reference `bvh.h:348-436`): the
+                whole (SUB, 128) tile walks with ONE scalar node cursor; node
+                bounds are scalar VMEM reads, the slab test is vector math
+                over the tile, and a `jnp.any` reduction decides descend vs
+                skip (hit_link vs miss_link; preorder links only move
+                forward, so the walk terminates)."""
+                def wcond(state):
                     return state[0] >= 0
 
-                def tbody(state):
+                def wbody(state):
                     node = state[0]
                     carry = state[1:]
-                    lo_x = tnode_ref[node, 0]
-                    lo_y = tnode_ref[node, 1]
-                    lo_z = tnode_ref[node, 2]
-                    hi_x = tnode_ref[node, 3]
-                    hi_y = tnode_ref[node, 4]
-                    hi_z = tnode_ref[node, 5]
+                    lo_x = node_ref[node, 0]
+                    lo_y = node_ref[node, 1]
+                    lo_z = node_ref[node, 2]
+                    hi_x = node_ref[node, 3]
+                    hi_y = node_ref[node, 4]
+                    hi_z = node_ref[node, 5]
                     tx0 = (lo_x - ox) * ivx
                     tx1 = (hi_x - ox) * ivx
                     ty0 = (lo_y - oy) * ivy
@@ -802,24 +756,195 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                     tz0 = (lo_z - oz) * ivz
                     tz1 = (hi_z - oz) * ivz
                     tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
                         jnp.minimum(tz0, tz1))
                     tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
                         jnp.maximum(tz0, tz1))
                     hit_box = (tf >= jnp.maximum(tn, t_min)) & (tn <= carry[0])
                     any_hit = jnp.any(hit_box)
-                    is_leaf = tleaf_ref[node, 0] >= 0
+                    base = start_ref[node, 0]
                     carry = jax.lax.cond(
-                        any_hit & is_leaf,
-                        lambda c: tri_leaf_tests(node, hit_box, c),
+                        any_hit & (base >= 0),
+                        lambda c: leaf_fn(base, hit_box, c),
                         lambda c: c, carry)
-                    nxt = jnp.where(any_hit, tlink_ref[node, 0],
-                                    tlink_ref[node, 1])
+                    nxt = jnp.where(any_hit, link_ref[node, 0],
+                                    link_ref[node, 1])
                     return (nxt, *carry)
 
-                state = jax.lax.while_loop(tcond, tbody, (jnp.int32(0), *carry))
-                carry = state[1:]
+                state = jax.lax.while_loop(wcond, wbody,
+                                           (jnp.int32(0), *carry))
+                return state[1:]
+
+            def sphere_candidate(row, box_mask, carry):
+                """One sphere row (dynamic index) against the whole tile.
+                box_mask: the enclosing leaf's slab mask (None = dense loop).
+                All-zero leaf-pad rows are rejected by radius != 0."""
+                c0x = sph_ref[row, 0]
+                c0y = sph_ref[row, 1]
+                c0z = sph_ref[row, 2]
+                c1x = sph_ref[row, 3]
+                c1y = sph_ref[row, 4]
+                c1z = sph_ref[row, 5]
+                tt0 = sph_ref[row, 6]
+                tt1 = sph_ref[row, 7]
+                rad = sph_ref[row, 8]
+                k_f = sph_ref[row, 9]
+                a1r = sph_ref[row, 10]
+                a1g = sph_ref[row, 11]
+                a1b = sph_ref[row, 12]
+                a2r = sph_ref[row, 13]
+                a2g = sph_ref[row, 14]
+                a2b = sph_ref[row, 15]
+                csc = sph_ref[row, _SPH_SCALE]
+                fz = sph_ref[row, _SPH_FUZZ]
+                irr = sph_ref[row, _SPH_IR]
+                texk = sph_ref[row, _SPH_TEXK]
+                m_id = sph_ref[row, _SPH_MAT]
+                uoff = sph_ref[row, _SPH_UOFF]
+
+                denom = jnp.where(jnp.abs(tt1 - tt0) < 1e-12, 1.0, tt1 - tt0)
+                frac = (tm - tt0) / denom
+                cx = c0x + frac * (c1x - c0x)
+                cy = c0y + frac * (c1y - c0y)
+                cz = c0z + frac * (c1z - c0z)
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                a = dx * dx + dy * dy + dz * dz
+                hb = ocx * dx + ocy * dy + ocz * dz
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                disc = hb * hb - a * cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                inv_a = 1.0 / jnp.maximum(a, _EPS)
+                near = (-hb - sq) * inv_a
+                far = (-hb + sq) * inv_a
+                has = (disc > 0.0) & (jnp.abs(rad) > 0.0)
+                t = jnp.where(has & (near >= t_min), near,
+                              jnp.where(has & (far >= t_min), far, BIG))
+                ok = t < BIG * 0.5
+                if box_mask is not None:
+                    ok = ok & box_mask
+                px = ox + t * dx
+                py = oy + t * dy
+                pz = oz + t * dz
+                inv_r = 1.0 / jnp.where(jnp.abs(rad) < _EPS, 1.0, rad)
+                nxx = (px - cx) * inv_r
+                nyy = (py - cy) * inv_r
+                nzz = (pz - cz) * inv_r
+                # sphere uv is computed AFTER the carry resolves (it needs
+                # atan2/acos polys — once per bounce, not per row); the
+                # is_sph carry flag marks the winner as a sphere, and its
+                # rotate_y uv phase rides the (otherwise unused) cu slot
+                return upd(ok, t, nxx, nyy, nzz, k_f.astype(jnp.int32),
+                           m_id.astype(jnp.int32), (a1r, a1g, a1b),
+                           (a2r, a2g, a2b), csc, texk.astype(jnp.int32),
+                           fz, irr, carry, uoff + zeros_v, zeros_v, 1.0)
+
+            if n_sph_nodes > 0:
+                # sphere-heavy scenes: packet-walk the sphere BVH
+                def sph_leaf(base, box_mask, carry):
+                    for kk in range(sph_leaf_k):
+                        carry = sphere_candidate(base + kk, box_mask, carry)
+                    return carry
+
+                carry = packet_walk(snode_ref, slink_ref, sstart_ref,
+                                    sph_leaf, carry)
+            elif n_sphere_rows > 0:
+                # few spheres: dense candidate loop over all rows
+                carry = jax.lax.fori_loop(
+                    0, n_sphere_rows,
+                    lambda i, c: sphere_candidate(i, None, c), carry)
+
+            # triangles: packet walk over the threaded flat BVH.  Small
+            # meshes read candidate rows straight from the VMEM-resident
+            # table; big meshes (tri_stream) keep the table in HBM and DMA
+            # the visited leaf's contiguous row block into a scratch buffer
+            # — 100k-triangle tables (~51 MB lane-padded) can never live in
+            # VMEM (~16 MB/core).
+            if n_tri_nodes > 0:
+                def tri_candidate(read, box_mask, carry):
+                    """Moller-Trumbore (reference triangle.h:120-178) for one
+                    candidate row via `read(col)` scalar loads.  All-zero
+                    leaf-pad rows fail the |det| > 1e-7 test."""
+                    v0x = read(_TRI_V0)
+                    v0y = read(_TRI_V0 + 1)
+                    v0z = read(_TRI_V0 + 2)
+                    e1x = read(_TRI_E1)
+                    e1y = read(_TRI_E1 + 1)
+                    e1z = read(_TRI_E1 + 2)
+                    e2x = read(_TRI_E2)
+                    e2y = read(_TRI_E2 + 1)
+                    e2z = read(_TRI_E2 + 2)
+                    hx = dy * e2z - dz * e2y
+                    hy = dz * e2x - dx * e2z
+                    hz = dx * e2y - dy * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    f = 1.0 / jnp.where(jnp.abs(a) < 1e-7, 1e-7, a)
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    ub = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    vb = f * (dx * qx + dy * qy + dz * qz)
+                    t = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (box_mask
+                          & (jnp.abs(a) > 1e-7)
+                          & (ub >= 0.0) & (ub <= 1.0)
+                          & (vb >= 0.0) & (ub + vb <= 1.0)
+                          & (t >= t_min))
+                    wb = 1.0 - ub - vb
+                    # vertex-normal interpolation (rows hold the face
+                    # normal replicated when the mesh has none)
+                    nxx = (wb * read(_TRI_N0) + ub * read(_TRI_N1)
+                           + vb * read(_TRI_N2))
+                    nyy = (wb * read(_TRI_N0 + 1) + ub * read(_TRI_N1 + 1)
+                           + vb * read(_TRI_N2 + 1))
+                    nzz = (wb * read(_TRI_N0 + 2) + ub * read(_TRI_N1 + 2)
+                           + vb * read(_TRI_N2 + 2))
+                    if need_uv:
+                        uu = (wb * read(_TRI_UV0) + ub * read(_TRI_UV1)
+                              + vb * read(_TRI_UV2))
+                        vv = (wb * read(_TRI_UV0 + 1) + ub * read(_TRI_UV1 + 1)
+                              + vb * read(_TRI_UV2 + 1))
+                    else:
+                        uu = vv = None
+                    return upd(
+                        ok, t, nxx, nyy, nzz,
+                        read(_TRI_KIND).astype(jnp.int32),
+                        read(_TRI_MAT).astype(jnp.int32),
+                        (read(_TRI_C1), read(_TRI_C1 + 1), read(_TRI_C1 + 2)),
+                        (read(_TRI_C2), read(_TRI_C2 + 1), read(_TRI_C2 + 2)),
+                        read(_TRI_SCALE),
+                        read(_TRI_TEXK).astype(jnp.int32),
+                        read(_TRI_FUZZ), read(_TRI_IR), carry, uu, vv)
+
+                if tri_stream:
+                    def tri_leaf(base, box_mask, carry):
+                        copy = pltpu.make_async_copy(
+                            tri_ref.at[pl.ds(base, tri_leaf_k)],
+                            tri_scratch, tri_sem)
+                        copy.start()
+                        copy.wait()
+                        for kk in range(tri_leaf_k):
+                            carry = tri_candidate(
+                                lambda col, kk=kk: tri_scratch[kk, col],
+                                box_mask, carry)
+                        return carry
+                else:
+                    def tri_leaf(base, box_mask, carry):
+                        for kk in range(tri_leaf_k):
+                            carry = tri_candidate(
+                                lambda col, kk=kk: tri_ref[base + kk, col],
+                                box_mask, carry)
+                        return carry
+
+                carry = packet_walk(tnode_ref, tlink_ref, tstart_ref,
+                                    tri_leaf, carry)
 
             (t_best, nx, ny, nz, kind, mid, c1r, c1g, c1b, c2r, c2g, c2b,
              scale, texk, fuzz, ir_v, cu, cv, sphf) = carry
@@ -936,7 +1061,9 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 ncy = jnp.clip(-ny, -1.0, 1.0)
                 theta = _acos_poly(ncy)
                 phi = _atan2_poly(-nz, nx) + math.pi
-                su = phi * (1.0 / (2.0 * math.pi))
+                # cu holds the winner's rotate_y uv phase (see
+                # sphere_candidate) — add and wrap to [0, 1)
+                su = (phi * (1.0 / (2.0 * math.pi)) + cu) % 1.0
                 sv = theta * (1.0 / math.pi)
                 cu = jnp.where(sphf > 0.5, su, cu)
                 cv = jnp.where(sphf > 0.5, sv, cv)
@@ -1131,18 +1258,16 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 
 @functools.partial(jax.jit, static_argnames=("bake_key", "max_depth", "t_min",
                                              "interpret", "record", "need_p",
-                                             "need_uv", "n_tri_nodes"))
-def _run(bake_key, seed, sph_table, tri_table, tri_nodes, tri_links, tri_leaf,
+                                             "need_uv"))
+def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
+         tri_table, tri_nodes, tri_links, tri_start,
          ox, oy, oz, dx, dy, dz, tm,
          max_depth, t_min, interpret, record=False, need_p=True,
-         need_uv=False, n_tri_nodes=0):
+         need_uv=False):
     bake = _BAKES[bake_key]
     rows = ox.shape[0]
     grid = (rows // SUB,)
-    n_s = sph_table.shape[0]
-    kernel = _make_kernel(bake, max_depth, t_min, n_s,
-                          n_tri_nodes=n_tri_nodes,
-                          leaf_k=tri_leaf.shape[1],
+    kernel = _make_kernel(bake, max_depth, t_min,
                           record=record, need_p=need_p, need_uv=need_uv)
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -1164,19 +1289,33 @@ def _run(bake_key, seed, sph_table, tri_table, tri_nodes, tri_links, tri_leaf,
         return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
                             memory_space=pltpu.VMEM)
 
+    if bake.tri_stream:
+        # big mesh: table stays in HBM; the walk DMAs one leaf block at a
+        # time into the scratch buffer
+        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch_shapes = [pltpu.VMEM((bake.tri_leaf_k, _TRI_COLS),
+                                     jnp.float32),
+                          pltpu.SemaphoreType.DMA(())]
+    else:
+        tri_spec = whole(tri_table)
+        scratch_shapes = []
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-            whole(sph_table), whole(tri_table), whole(tri_nodes),
-            whole(tri_links), whole(tri_leaf),
+            whole(sph_table), whole(sph_nodes), whole(sph_links),
+            whole(sph_start),
+            tri_spec, whole(tri_nodes), whole(tri_links), whole(tri_start),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(seed, sph_table, tri_table, tri_nodes, tri_links, tri_leaf,
+    )(seed, sph_table, sph_nodes, sph_links, sph_start,
+      tri_table, tri_nodes, tri_links, tri_start,
       ox, oy, oz, dx, dy, dz, tm)
     return out
 
@@ -1198,21 +1337,24 @@ class PallasTracer:
         self.bake = bake_scene(scene)
         self.key = ("bake", self.bake.digest)
         _BAKES.setdefault(self.key, self.bake)
-        sph = self.bake.sphere_table
-        self.sph_table = jnp.asarray(sph if len(sph) else
-                                     np.zeros((1, 24), np.float32))
-        self.n_rows = len(sph)
-        self.n_tri_nodes = len(self.bake.tri_nodes)
 
         def pad1(a, cols, dtype):
             return jnp.asarray(a if len(a) else np.zeros((1, cols), dtype))
 
+        self.sph_table = pad1(self.bake.sphere_table, 24, np.float32)
+        self.sph_nodes = pad1(self.bake.sph_nodes, 6, np.float32)
+        self.sph_links = pad1(self.bake.sph_links, 2, np.int32)
+        self.sph_start = (jnp.asarray(self.bake.sph_start)
+                          if len(self.bake.sph_start)
+                          else jnp.full((1, 1), -1, jnp.int32))
         self.tri_table = pad1(self.bake.tri_table, _TRI_COLS, np.float32)
         self.tri_nodes = pad1(self.bake.tri_nodes, 6, np.float32)
         self.tri_links = pad1(self.bake.tri_links, 2, np.int32)
-        self.tri_leaf = (jnp.asarray(self.bake.tri_leaf)
-                         if len(self.bake.tri_leaf)
-                         else jnp.full((1, 1), -1, jnp.int32))
+        self.tri_start = (jnp.asarray(self.bake.tri_start)
+                          if len(self.bake.tri_start)
+                          else jnp.full((1, 1), -1, jnp.int32))
+        self.n_tri_nodes = len(self.bake.tri_nodes)
+        self.n_sph_nodes = len(self.bake.sph_nodes)
         # phase-2 shading reads hit points only for position-dependent
         # textures (checker + perlin family) and uv only for image textures
         # — see walk()
@@ -1242,10 +1384,11 @@ class PallasTracer:
         the bake is closed over)."""
         interpret = jax.default_backend() != "tpu"
         n, seed, args = self._tile_args(o, d, tm, key)
-        lr, lg, lb = _run(self.key, seed, self.sph_table, self.tri_table,
-                          self.tri_nodes, self.tri_links, self.tri_leaf, *args,
-                          max_depth=max_depth, t_min=t_min, interpret=interpret,
-                          n_tri_nodes=self.n_tri_nodes)
+        lr, lg, lb = _run(self.key, seed, self.sph_table, self.sph_nodes,
+                          self.sph_links, self.sph_start, self.tri_table,
+                          self.tri_nodes, self.tri_links, self.tri_start,
+                          *args, max_depth=max_depth, t_min=t_min,
+                          interpret=interpret)
         out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)], axis=-1)
         return out[:n]
 
@@ -1264,11 +1407,11 @@ class PallasTracer:
         interpret = jax.default_backend() != "tpu"
         n, seed, args = self._tile_args(o, d, tm, key)
         out = _run(
-            self.key, seed, self.sph_table, self.tri_table, self.tri_nodes,
-            self.tri_links, self.tri_leaf, *args,
+            self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
+            self.sph_start, self.tri_table, self.tri_nodes, self.tri_links,
+            self.tri_start, *args,
             max_depth=max_depth, t_min=t_min, interpret=interpret, record=True,
             need_p=self.need_p, need_uv=self.need_uv,
-            n_tri_nodes=self.n_tri_nodes,
         )
         flat = lambda a: a.reshape(max_depth, -1)[:, :n]
         return tuple(flat(a) for a in out)

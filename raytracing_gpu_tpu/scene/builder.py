@@ -51,6 +51,17 @@ ColorLike = Union[tuple, list, np.ndarray]
 _PAD = 4  # pad primitive tables to a multiple of this
 
 
+def _rot_y(p: np.ndarray, degrees: float) -> np.ndarray:
+    """Rotate a point about the y axis (reference `hittable.h:107-121` world
+    transform: x' = cos*x + sin*z, z' = -sin*x + cos*z)."""
+    if degrees % 360.0 == 0.0:
+        return np.asarray(p, np.float32)
+    th = math.radians(degrees)
+    c, s = math.cos(th), math.sin(th)
+    x, y, z = (float(v) for v in np.asarray(p, np.float64))
+    return np.asarray([c * x + s * z, y, -s * x + c * z], np.float32)
+
+
 def _v3(x) -> np.ndarray:
     return np.asarray(x, np.float32).reshape(3)
 
@@ -144,30 +155,68 @@ class SceneBuilder:
 
     # -- primitives --------------------------------------------------------
 
-    def sphere(self, center, radius: float, mat: int) -> None:
-        """reference `sphere.h`; negative radius = hollow-sphere trick."""
+    def sphere(self, center, radius: float, mat: int,
+               rotate_y: float = 0.0, translate=(0.0, 0.0, 0.0)) -> None:
+        """reference `sphere.h`; negative radius = hollow-sphere trick.
+
+        rotate_y/translate are the general instance wrappers
+        (`hittable.h:31-143`) baked at build time: the center is rotated
+        about y then offset, and the spherical-uv phase shift the reference
+        gets from object-space uv is stored as a per-sphere u offset.
+        """
+        c = _rot_y(_v3(center), rotate_y) + _v3(translate)
         self._spheres.append(
-            dict(c0=_v3(center), c1=_v3(center), t0=0.0, t1=1.0,
-                 r=float(radius), mat=mat, medium=False, nid=0.0)
+            dict(c0=c, c1=c, t0=0.0, t1=1.0, r=float(radius), mat=mat,
+                 medium=False, nid=0.0, u_off=-rotate_y / 360.0)
         )
 
-    def moving_sphere(self, center0, center1, time0, time1, radius, mat: int) -> None:
-        """reference `moving_sphere.h`."""
+    def moving_sphere(self, center0, center1, time0, time1, radius, mat: int,
+                      rotate_y: float = 0.0, translate=(0.0, 0.0, 0.0)) -> None:
+        """reference `moving_sphere.h` (+ baked instance transform)."""
+        off = _v3(translate)
         self._spheres.append(
-            dict(c0=_v3(center0), c1=_v3(center1), t0=float(time0), t1=float(time1),
-                 r=float(radius), mat=mat, medium=False, nid=0.0)
+            dict(c0=_rot_y(_v3(center0), rotate_y) + off,
+                 c1=_rot_y(_v3(center1), rotate_y) + off,
+                 t0=float(time0), t1=float(time1),
+                 r=float(radius), mat=mat, medium=False, nid=0.0,
+                 u_off=-rotate_y / 360.0)
         )
 
-    def rect(self, orientation: str, a0, a1, b0, b1, k, mat: int) -> None:
+    def rect(self, orientation: str, a0, a1, b0, b1, k, mat: int,
+             rotate_y: float = 0.0, translate=(0.0, 0.0, 0.0)) -> None:
         """reference `aarect.h`: orientation in {"xy", "xz", "yz"}.
 
         Argument order matches the reference ctors, e.g. xy_rect(x0,x1,y0,y1,k).
+        rotate_y/translate bake the instance wrappers (`hittable.h:31-143`):
+        a pure translation keeps the rect axis-aligned (offset bounds);
+        a rotation lowers it to two exact triangles carrying the rect's uv
+        parameterization and rotated normal.
         """
         axis = {"yz": RECT_YZ, "xz": RECT_XZ, "xy": RECT_XY}[orientation]
-        self._rects.append(
-            dict(axis=axis, a0=float(a0), a1=float(a1), b0=float(b0),
-                 b1=float(b1), k=float(k), mat=mat)
-        )
+        tx, ty, tz = (float(x) for x in np.asarray(translate, np.float64))
+        if rotate_y % 360.0 == 0.0:
+            da, db, dk = {RECT_YZ: (ty, tz, tx), RECT_XZ: (tx, tz, ty),
+                          RECT_XY: (tx, ty, tz)}[axis]
+            self._rects.append(
+                dict(axis=axis, a0=float(a0) + da, a1=float(a1) + da,
+                     b0=float(b0) + db, b1=float(b1) + db, k=float(k) + dk,
+                     mat=mat)
+            )
+            return
+        # rotated rect -> 2 triangles (no longer axis-aligned); uv corners
+        # follow the reference order u=(a-a0)/(a1-a0), v=(b-b0)/(b1-b0)
+        def pt(a, b):
+            p = {RECT_YZ: (k, a, b), RECT_XZ: (a, k, b),
+                 RECT_XY: (a, b, k)}[axis]
+            return _rot_y(_v3(p), rotate_y) + _v3(translate)
+
+        p00, p10 = pt(a0, b0), pt(a1, b0)
+        p11, p01 = pt(a1, b1), pt(a0, b1)
+        n = _rot_y(np.eye(3, dtype=np.float32)[axis], rotate_y)
+        self.triangle(p00, p11, p10, mat, uv0=(0, 0), uv1=(1, 1), uv2=(1, 0),
+                      normals=(n, n, n))
+        self.triangle(p00, p01, p11, mat, uv0=(0, 0), uv1=(0, 1), uv2=(1, 1),
+                      normals=(n, n, n))
 
     def box(self, p0, p1, mat: int, rotate_y: float = 0.0,
             translate=(0.0, 0.0, 0.0)) -> None:
@@ -182,12 +231,14 @@ class SceneBuilder:
         self._add_box(p0, p1, mat, rotate_y, translate, medium=True, density=density)
 
     def sphere_medium(self, center, radius: float, density: float,
-                      albedo: Union[int, ColorLike]) -> None:
+                      albedo: Union[int, ColorLike],
+                      rotate_y: float = 0.0, translate=(0.0, 0.0, 0.0)) -> None:
         """reference `constant_medium` with a sphere boundary."""
         mat = self.isotropic(albedo)
+        c = _rot_y(_v3(center), rotate_y) + _v3(translate)
         self._spheres.append(
-            dict(c0=_v3(center), c1=_v3(center), t0=0.0, t1=1.0, r=float(radius),
-                 mat=mat, medium=True, nid=-1.0 / float(density))
+            dict(c0=c, c1=c, t0=0.0, t1=1.0, r=float(radius),
+                 mat=mat, medium=True, nid=-1.0 / float(density), u_off=0.0)
         )
 
     def _add_box(self, p0, p1, mat, rotate_y, translate, medium, density):
@@ -323,15 +374,18 @@ class SceneBuilder:
         act = np.zeros(n, bool)
         med = np.zeros(n, bool)
         nid = np.zeros(n, np.float32)
+        uo = np.zeros(n, np.float32)
         for i, s in enumerate(rows):
             c0[i], c1[i], t0[i], t1[i] = s["c0"], s["c1"], s["t0"], s["t1"]
             r[i], mat[i], act[i] = s["r"], s["mat"], True
             med[i], nid[i] = s["medium"], s["nid"]
+            uo[i] = s.get("u_off", 0.0)
         return Spheres(
             center0=jnp.asarray(c0), center1=jnp.asarray(c1),
             time0=jnp.asarray(t0), time1=jnp.asarray(t1), radius=jnp.asarray(r),
             mat_id=jnp.asarray(mat), active=jnp.asarray(act),
             medium=jnp.asarray(med), neg_inv_density=jnp.asarray(nid),
+            u_off=jnp.asarray(uo),
         )
 
     def _pack_rects(self) -> Rects:

@@ -68,6 +68,11 @@ class Spheres:
     active: Array           # (S,) bool — False for padding rows
     medium: Array           # (S,) bool — constant-medium boundary
     neg_inv_density: Array  # (S,) -1/density for medium rows, 0 otherwise
+    u_off: Array            # (S,) texture-u phase in turns — a rotate_y
+    #                         instance (`hittable.h:64-143`) computes uv in
+    #                         object space, so rotating a sphere by theta
+    #                         shifts u by -theta/360; baked here instead of a
+    #                         wrapper object
 
 
 @struct.dataclass

@@ -215,3 +215,77 @@ class TestMedium:
         rec = _hit_one(b.build(), (0, 0, 0), (0, 0, -1))
         assert rec.hit
         assert rec.t == pytest.approx(1.1, rel=1e-4)  # sphere in front
+
+
+class TestGeneralInstancing:
+    """General rotate_y/translate wrappers on spheres and rects
+    (reference `hittable.h:31-143` wraps arbitrary hittables; we bake the
+    transform at build time — see SceneBuilder.sphere/rect)."""
+
+    def test_translated_sphere(self):
+        b = SceneBuilder()
+        b.sphere((0, 0, -2), 1.0, b.lambertian((1, 0, 0)),
+                 translate=(3, 1, 0))
+        rec = _hit_one(b.build(), (3, 1, 0), (0, 0, -1))
+        assert rec.hit
+        assert rec.t == pytest.approx(1.0, rel=1e-5)
+
+    def test_rotated_sphere_center(self):
+        # center (2,0,0) rotated -90 deg about y -> (0,0,2)
+        b = SceneBuilder()
+        b.sphere((2, 0, 0), 1.0, b.lambertian((1, 0, 0)), rotate_y=-90.0)
+        rec = _hit_one(b.build(), (0, 0, 0), (0, 0, 1))
+        assert rec.hit
+        assert rec.t == pytest.approx(1.0, rel=1e-5)
+
+    def test_rotated_sphere_uv_phase(self):
+        # reference rotate_y computes uv in OBJECT space (hittable.h:124-139):
+        # hitting the world +x pole of a sphere rotated +90 deg about y must
+        # report the uv the unrotated sphere has at its +z pole.
+        def u_at_plus_x(rot):
+            b = SceneBuilder()
+            b.sphere((0, 0, 0), 1.0, b.lambertian((1, 0, 0)), rotate_y=rot)
+            rec = _hit_one(b.build(), (2, 0, 0), (-1, 0, 0))
+            assert rec.hit
+            return float(rec.u)
+
+        # unrotated +z pole: phi = atan2(-1, 0) + pi = pi/2 -> u = 0.25
+        assert u_at_plus_x(90.0) == pytest.approx(0.25, abs=1e-5)
+        assert u_at_plus_x(0.0) == pytest.approx(0.5, abs=1e-5)
+
+    def test_translated_rect_stays_axis_aligned(self):
+        b = SceneBuilder()
+        b.rect("xy", 0, 1, 0, 1, -2.0, b.lambertian((1, 0, 0)),
+               translate=(1, 2, -1))
+        scene = b.build()
+        assert int(np.asarray(scene.rects.active).sum()) == 1
+        rec = _hit_one(scene, (1.5, 2.5, 0), (0, 0, -1))
+        assert rec.hit
+        assert rec.t == pytest.approx(3.0, rel=1e-5)
+        assert rec.u == pytest.approx(0.5, abs=1e-5)
+        assert rec.v == pytest.approx(0.5, abs=1e-5)
+
+    def test_rotated_rect_matches_axis_aligned_image(self):
+        # yz rect at x=k rotated +90 deg about y lands exactly on the plane
+        # z = k' — compare t/normal against the directly-built xy rect
+        b1 = SceneBuilder()
+        b1.rect("yz", 0, 1, 0, 1, 0.5, b1.lambertian((1, 0, 0)),
+                rotate_y=90.0)
+        b2 = SceneBuilder()
+        # rotate_y(90): (0.5, y, z) -> (z, y, -0.5); x spans (0,1), z = -0.5
+        b2.rect("xy", 0, 1, 0, 1, -0.5, b2.lambertian((1, 0, 0)))
+        for o, d in [((0.25, 0.75, 2.0), (0, 0, -1)),
+                     ((0.9, 0.1, 2.0), (0, 0, -1)),
+                     ((0.5, 0.5, -2.0), (0, 0, 1))]:
+            r1 = _hit_one(b1.build(), o, d)
+            r2 = _hit_one(b2.build(), o, d)
+            assert bool(r1.hit) == bool(r2.hit)
+            if r1.hit:
+                assert r1.t == pytest.approx(float(r2.t), rel=1e-4)
+                np.testing.assert_allclose(r1.normal, r2.normal, atol=1e-5)
+
+    def test_rotated_rect_misses_outside(self):
+        b = SceneBuilder()
+        b.rect("yz", 0, 1, 0, 1, 0.5, b.lambertian((1, 0, 0)), rotate_y=90.0)
+        rec = _hit_one(b.build(), (1.5, 0.5, 2.0), (0, 0, -1))
+        assert not rec.hit

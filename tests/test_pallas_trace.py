@@ -129,6 +129,22 @@ class TestMeshWalk:
         corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
         assert corr > 0.95
 
+    def test_streamed_leaf_dma_matches_resident(self, monkeypatch):
+        """HBM-streamed leaf DMA path (big meshes) vs the VMEM-resident
+        path: force streaming on the door mesh (2,165 tris) by dropping the
+        threshold and require depth-1 exact agreement with the XLA tracer.
+        On TPU this is the only kernel path for 100k-triangle scenes."""
+        from raytracing_gpu_tpu.ops import pallas_trace as pt
+
+        sd = scenes.get("door")
+        o, d, tm = _rays_for(sd)
+        r = np.asarray(trace(sd.scene, o, d, tm, KEY, max_depth=1))
+        monkeypatch.setattr(pt, "_TRI_STREAM_MIN", 64)
+        tracer = PallasTracer(sd.scene)
+        assert tracer.bake.tri_stream
+        p = np.asarray(tracer(None, o, d, tm, KEY, max_depth=1))
+        np.testing.assert_allclose(p, r, rtol=1e-4, atol=1e-5)
+
     def test_walk_records_uv_for_image_textures(self):
         sd = scenes.get("door")
         tracer = PallasTracer(sd.scene)

@@ -24,7 +24,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import jax.numpy as jnp
 from flax import struct
 from jax import Array
 
@@ -59,9 +58,9 @@ def build(bounds_min: np.ndarray, bounds_max: np.ndarray,
         if out is not None:
             nmin, nmax, hit_link, miss_link, leaf_prims = out
             return FlatBVH(
-                node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
-                hit_link=jnp.asarray(hit_link), miss_link=jnp.asarray(miss_link),
-                leaf_prims=jnp.asarray(leaf_prims),
+                node_min=np.asarray(nmin), node_max=np.asarray(nmax),
+                hit_link=np.asarray(hit_link), miss_link=np.asarray(miss_link),
+                leaf_prims=np.asarray(leaf_prims),
             )
         if backend == "native":
             raise RuntimeError("native BVH builder unavailable")
@@ -119,22 +118,26 @@ def build(bounds_min: np.ndarray, bounds_max: np.ndarray,
         else:
             hit_link[i] = i + 1
 
+    # numpy leaves: the scene builder uploads the whole pytree in one bulk
+    # host->device conversion (SceneBuilder.build) and keeps this host copy
+    # in its snapshot for zero-transfer baking/fingerprinting.
     return FlatBVH(
-        node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
-        hit_link=jnp.asarray(hit_link), miss_link=jnp.asarray(miss_link),
-        leaf_prims=jnp.asarray(leaf_prims),
+        node_min=nmin, node_max=nmax,
+        hit_link=hit_link, miss_link=miss_link,
+        leaf_prims=leaf_prims,
     )
 
 
-def build_triangle_bvh(tri_rows: Sequence[dict], leaf_size: int = 4) -> FlatBVH:
-    """BVH over the builder's triangle rows (pre-packing dicts with v0/e1/e2).
+def build_triangle_bvh(tri_cols: dict, leaf_size: int = 4) -> FlatBVH:
+    """BVH over the builder's triangle columns (SceneBuilder._tri_columns —
+    a dict of (P, 3) v0/e1/e2 arrays).
 
     Triangle AABBs with degenerate-axis padding (reference `triangle.h:80-93`).
     Primitive ids equal row order == packed table order.
     """
-    v0 = np.stack([t["v0"] for t in tri_rows])
-    v1 = v0 + np.stack([t["e1"] for t in tri_rows])
-    v2 = v0 + np.stack([t["e2"] for t in tri_rows])
+    v0 = np.asarray(tri_cols["v0"])
+    v1 = v0 + np.asarray(tri_cols["e1"])
+    v2 = v0 + np.asarray(tri_cols["e2"])
     bmin = np.minimum(np.minimum(v0, v1), v2)
     bmax = np.maximum(np.maximum(v0, v1), v2)
     flat = (bmax - bmin) < 1e-6
@@ -163,4 +166,4 @@ def build_sphere_bvh(sphere_rows: Sequence[dict], leaf_size: int = 4):
     # remap leaf ids to packed-table rows
     lp = np.asarray(bvh.leaf_prims)
     remapped = np.where(lp >= 0, ids[np.clip(lp, 0, len(ids) - 1)], -1)
-    return bvh.replace(leaf_prims=jnp.asarray(remapped)), ids
+    return bvh.replace(leaf_prims=remapped.astype(np.int32)), ids

@@ -53,6 +53,10 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--process-id", type=int, default=None)
     r.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace to this directory")
+    r.add_argument("--debug-nans", action="store_true",
+                   help="abort on the first NaN any jit produces "
+                        "(jax_debug_nans — the debug-mode analogue of the "
+                        "reference's checkCudaErrors abort, common.h:30-38)")
     r.add_argument("--quiet", action="store_true")
 
     sub.add_parser("list", help="list registered scenes")
@@ -113,6 +117,10 @@ def main(argv=None) -> int:
         return 0
 
     # render
+    if args.debug_nans:
+        from .utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
     st = RenderSettings(image_width=args.width, aspect_ratio=sd.aspect,
                         spp_per_chunk=args.spp, num_chunks=args.chunks,
                         max_depth=args.depth, ray_batch=args.ray_batch,

@@ -104,10 +104,13 @@ _TRI_C1, _TRI_C2, _TRI_SCALE, _TRI_TEXK = 28, 31, 34, 35
 _TRI_COLS = 40
 
 # Mosaic pads a VMEM-resident (N, C) table's minor dim to 128 lanes, so a
-# table costs N*512 bytes of VMEM regardless of C.  Above this row count the
-# triangle table stays in HBM and leaves are DMA'd into a scratch buffer
-# (~8 MB of a ~16 MB/core budget at the threshold).
-_TRI_STREAM_MIN = 16384
+# table costs N*512 bytes of VMEM regardless of C — and the THREE node-side
+# arrays (nodes/links/start) are whole-array VMEM-resident too, in both
+# resident and streamed mode.  The resident-vs-streamed decision is therefore
+# made from the TOTAL footprint (table + 3 node arrays), not a row count:
+# at leaf_k=4 a 16k-tri mesh costs ~8 MB table + ~12.6 MB nodes, well past
+# the ~16 MB/core VMEM.  Budget leaves headroom for ray tiles + scratch.
+_TRI_VMEM_BUDGET = 8 * 2**20
 _TRI_LEAF_K = 4         # resident-table leaf size (unchanged from round 1)
 _TRI_STREAM_LEAF_K = 64  # streamed leaf size: fewer/fatter leaves -> fewer
                          # DMAs and a small node table (100k tris -> ~3k nodes)
@@ -119,6 +122,19 @@ _SPH_C0, _SPH_C1, _SPH_T0, _SPH_T1, _SPH_RAD, _SPH_KIND = 0, 3, 6, 7, 8, 9
 _SPH_A1, _SPH_A2, _SPH_SCALE, _SPH_FUZZ, _SPH_IR = 10, 13, 16, 17, 18
 _SPH_TEXK, _SPH_MAT, _SPH_UOFF = 19, 20, 21
 _MAX_MEDIA = 16  # RNG salt slots reserved per bounce for media free paths
+
+
+def _host_scene(scene):
+    """Numpy-leaf view of a scene for host-side baking.
+
+    SceneBuilder.build attaches its numpy snapshot to the device scene; when
+    present (any builder-produced scene) baking costs zero device->host
+    transfers — a per-leaf device_get through the remote-TPU tunnel costs
+    ~2 s/leaf, ~2 min for a full scene.  Scenes that went through .replace()
+    (e.g. diff.set_params) fall back to one bulk device_get.
+    """
+    host = getattr(scene, "_host_np", None)
+    return host if host is not None else jax.device_get(scene)
 
 
 def _used_tex_kinds_by_class(scene) -> dict:
@@ -146,7 +162,7 @@ def supports_scene(scene: st.Scene) -> bool:
     constant-medium boundaries (RNG salt slots per bounce) — far above any
     reference scene (cornell_smoke has 2).
     """
-    host = jax.device_get(scene)
+    host = _host_scene(scene)
     n_media = int(np.sum(np.asarray(host.spheres.medium)
                          & np.asarray(host.spheres.active)))
     n_media += int(np.sum(np.asarray(host.boxes.medium)
@@ -160,8 +176,7 @@ def supports_forward(scene: st.Scene) -> bool:
     XLA (walk + phase-2 shade covers those)."""
     if not supports_scene(scene):
         return False
-    scene = jax.device_get(scene)
-    by_class = _used_tex_kinds_by_class(scene)
+    by_class = _used_tex_kinds_by_class(_host_scene(scene))
     return not any(st.TEX_IMAGE in k for k in by_class.values())
 
 
@@ -184,10 +199,9 @@ def _mat_shading(scene, mat_id: int):
 def bake_scene(scene: st.Scene) -> SceneBake:
     """Snapshot the packed scene into python scalars / a dense sphere table.
 
-    One bulk device_get up front: element-wise np.asarray on device arrays
-    would issue hundreds of tiny D2H transfers (pathological through the TPU
-    tunnel)."""
-    scene = jax.device_get(scene)
+    Uses the builder's numpy snapshot when present (_host_scene): any
+    device_get through the TPU tunnel costs seconds per leaf."""
+    scene = _host_scene(scene)
     rects = []
     rc = scene.rects
     for i in range(int(rc.axis.shape[0])):
@@ -324,8 +338,9 @@ def _bake_triangles(scene):
     Row layout (40 f32): v0 e1 e2 | n0 n1 n2 (face normal replicated when no
     vertex normals — interpolation is then the constant) | uv0 uv1 uv2 |
     kind fuzz ir mat | c1 c2 scale checker | pad.  The table is reordered
-    leaf-contiguous (see _leaf_contiguous); above _TRI_STREAM_MIN active
-    triangles it stays in HBM and the walk DMAs one leaf at a time.
+    leaf-contiguous (see _leaf_contiguous); when the resident footprint
+    (table + node arrays, _tri_vmem_bytes) exceeds _TRI_VMEM_BUDGET the table
+    stays in HBM and the walk DMAs one leaf at a time.
 
     Returns (table, nodes, links, start, leaf_k, stream).
     """
@@ -356,19 +371,22 @@ def _bake_triangles(scene):
                                         face_n)
     for col, uv in ((_TRI_UV0, tr.uv0), (_TRI_UV1, tr.uv1), (_TRI_UV2, tr.uv2)):
         rows[:, col:col + 2] = np.asarray(uv, np.float32)
+    # Denormalized shading columns, vectorized: per-material values computed
+    # from the material/texture tables once, broadcast by fancy indexing
+    # (the per-row _mat_shading loop took seconds at 100k tris).
     mat_ids = np.asarray(tr.mat_id)
-    for i in range(n_all):
-        if not act[i]:
-            continue
-        sh = _mat_shading(scene, int(mat_ids[i]))
-        rows[i, _TRI_KIND] = sh["kind"]
-        rows[i, _TRI_FUZZ] = sh["fuzz"]
-        rows[i, _TRI_IR] = sh["ir"]
-        rows[i, _TRI_MAT] = sh["mat"]
-        rows[i, _TRI_C1:_TRI_C1 + 3] = sh["c1"]
-        rows[i, _TRI_C2:_TRI_C2 + 3] = sh["c2"]
-        rows[i, _TRI_SCALE] = sh["scale"]
-        rows[i, _TRI_TEXK] = float(sh["texk"])
+    mats, texs = scene.materials, scene.textures
+    mkind = np.asarray(mats.kind, np.float32)
+    mtex = np.asarray(mats.tex_id)
+    tex = mtex[mat_ids]
+    rows[:, _TRI_KIND] = mkind[mat_ids]
+    rows[:, _TRI_FUZZ] = np.asarray(mats.fuzz, np.float32)[mat_ids]
+    rows[:, _TRI_IR] = np.asarray(mats.ir, np.float32)[mat_ids]
+    rows[:, _TRI_MAT] = mat_ids.astype(np.float32)
+    rows[:, _TRI_C1:_TRI_C1 + 3] = np.asarray(texs.c1, np.float32)[tex]
+    rows[:, _TRI_C2:_TRI_C2 + 3] = np.asarray(texs.c2, np.float32)[tex]
+    rows[:, _TRI_SCALE] = np.asarray(texs.scale, np.float32)[tex]
+    rows[:, _TRI_TEXK] = np.asarray(texs.kind, np.float32)[tex]
 
     # Build the kernel's own BVH over active triangles (leaf size differs
     # from the XLA traversal's scene.tri_bvh; the reorder needs leaf-slot
@@ -376,8 +394,6 @@ def _bake_triangles(scene):
     from ..accel import bvh as bvh_mod
 
     keep = np.nonzero(act)[0]
-    stream = len(keep) > _TRI_STREAM_MIN
-    leaf_k = _TRI_STREAM_LEAF_K if stream else _TRI_LEAF_K
     v1 = v0 + e1
     v2 = v0 + e2
     bmin = np.minimum(np.minimum(v0, v1), v2)
@@ -385,9 +401,39 @@ def _bake_triangles(scene):
     flat = (bmax - bmin) < 1e-6
     bmin = np.where(flat, bmin - bvh_mod.BBOX_PAD, bmin)
     bmax = np.where(flat, bmax + bvh_mod.BBOX_PAD, bmax)
-    bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=leaf_k)
-    table, nodes, links, start = _leaf_contiguous(rows[keep], bvh, leaf_k)
-    return table, nodes, links, start, leaf_k, stream
+
+    # resident first (leaf_k=4 minimizes candidate tests); fall back to the
+    # streamed layout when the measured footprint busts the VMEM budget.
+    # (Skip the resident build when the table alone cannot fit.)
+    stream = len(keep) * 512 > _TRI_VMEM_BUDGET
+    if not stream:
+        bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=_TRI_LEAF_K)
+        table, nodes, links, start = _leaf_contiguous(rows[keep], bvh,
+                                                      _TRI_LEAF_K)
+        stream = _tri_vmem_bytes(len(table), len(nodes), False) > _TRI_VMEM_BUDGET
+        if not stream:
+            return table, nodes, links, start, _TRI_LEAF_K, False
+    bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=_TRI_STREAM_LEAF_K)
+    table, nodes, links, start = _leaf_contiguous(rows[keep], bvh,
+                                                  _TRI_STREAM_LEAF_K)
+    node_bytes = _tri_vmem_bytes(0, len(nodes), True)
+    assert node_bytes <= _TRI_VMEM_BUDGET, (
+        f"streamed-mode node arrays need {node_bytes / 2**20:.1f} MB VMEM "
+        f"(> {_TRI_VMEM_BUDGET / 2**20:.0f} MB budget); raise "
+        f"_TRI_STREAM_LEAF_K for meshes this large")
+    from ..utils.profiling import logger
+
+    logger.debug("tri bake: %d tris streamed, %d nodes, %.1f MB VMEM node-side",
+                 len(keep), len(nodes), node_bytes / 2**20)
+    return table, nodes, links, start, _TRI_STREAM_LEAF_K, True
+
+
+def _tri_vmem_bytes(n_table_rows: int, n_nodes: int, stream: bool) -> int:
+    """Estimated VMEM cost of the kernel's triangle-side arrays: every row of
+    every array lane-pads to 128 lanes (512 B); nodes/links/start are three
+    arrays; streamed mode adds the leaf scratch block instead of the table."""
+    scratch = _TRI_STREAM_LEAF_K * 512 if stream else 0
+    return (n_table_rows + 3 * n_nodes) * 512 + scratch
 
 
 # --------------------------------------------------------------------------
@@ -1292,7 +1338,7 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
     if bake.tri_stream:
         # big mesh: table stays in HBM; the walk DMAs one leaf block at a
         # time into the scratch buffer
-        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch_shapes = [pltpu.VMEM((bake.tri_leaf_k, _TRI_COLS),
                                      jnp.float32),
                           pltpu.SemaphoreType.DMA(())]
@@ -1358,7 +1404,7 @@ class PallasTracer:
         # phase-2 shading reads hit points only for position-dependent
         # textures (checker + perlin family) and uv only for image textures
         # — see walk()
-        host = jax.device_get(scene)
+        host = _host_scene(scene)
         by_class = _used_tex_kinds_by_class(host)
         used_kinds = set().union(*by_class.values())
         self.need_p = bool(used_kinds & {st.TEX_CHECKER, st.TEX_NOISE,

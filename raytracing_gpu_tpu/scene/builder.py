@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 from typing import Optional, Sequence, Union
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .types import (
@@ -80,6 +81,9 @@ class SceneBuilder:
     _rects: list = field(default_factory=list)
     _boxes: list = field(default_factory=list)
     _tris: list = field(default_factory=list)
+    # columnar triangle blocks (dict of arrays) appended by mesh() — 100k-tri
+    # meshes must not pay a python dict-append per face
+    _tri_blocks: list = field(default_factory=list)
     # image atlas
     _images: list = field(default_factory=list)
 
@@ -290,15 +294,62 @@ class SceneBuilder:
                 c, s = math.cos(th), math.sin(th)
                 nx, ny, nz = normals[:, 0].copy(), normals[:, 1], normals[:, 2].copy()
                 normals = np.stack((c * nx + s * nz, ny, -s * nx + c * nz), axis=-1)
-        for f in faces:
-            i, j, k = int(f[0]), int(f[1]), int(f[2])
-            self.triangle(
-                vertices[i], vertices[j], vertices[k], mat,
-                uv0=uvs[i] if uvs is not None else (0, 0),
-                uv1=uvs[j] if uvs is not None else (0, 0),
-                uv2=uvs[k] if uvs is not None else (0, 0),
-                normals=(normals[i], normals[j], normals[k]) if normals is not None else None,
-            )
+        # columnar block — one fancy-index per column instead of a python
+        # dict-append per face (100k-tri meshes build in milliseconds)
+        i, j, k = faces[:, 0], faces[:, 1], faces[:, 2]
+        v0 = vertices[i]
+        e1 = vertices[j] - v0
+        e2 = vertices[k] - v0
+        if normals is None:
+            n = np.cross(e2, e1).astype(np.float32)  # reference face normal order
+            n0 = n1 = n2 = n
+            has_vn = np.zeros(len(faces), bool)
+        else:
+            n0, n1, n2 = normals[i], normals[j], normals[k]
+            has_vn = np.ones(len(faces), bool)
+        z2 = np.zeros((len(faces), 2), np.float32)
+        self._tri_blocks.append(dict(
+            v0=v0, e1=e1, e2=e2, n0=n0, n1=n1, n2=n2,
+            uv0=uvs[i].astype(np.float32) if uvs is not None else z2,
+            uv1=uvs[j].astype(np.float32) if uvs is not None else z2,
+            uv2=uvs[k].astype(np.float32) if uvs is not None else z2,
+            has_vn=has_vn,
+            mat=np.full(len(faces), mat, np.int32),
+        ))
+
+    def _tri_columns(self) -> dict:
+        """All triangles (per-triangle rows + mesh blocks) as one columnar
+        dict of arrays, in insertion order: rows first, then blocks."""
+        cols = ("v0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2",
+                "has_vn", "mat")
+        blocks = []
+        if self._tris:
+            rows = self._tris
+            blocks.append(dict(
+                v0=np.stack([t["v0"] for t in rows]),
+                e1=np.stack([t["e1"] for t in rows]),
+                e2=np.stack([t["e2"] for t in rows]),
+                n0=np.stack([t["n0"] for t in rows]),
+                n1=np.stack([t["n1"] for t in rows]),
+                n2=np.stack([t["n2"] for t in rows]),
+                uv0=np.stack([t["uv0"] for t in rows]),
+                uv1=np.stack([t["uv1"] for t in rows]),
+                uv2=np.stack([t["uv2"] for t in rows]),
+                has_vn=np.asarray([t["has_vn"] for t in rows], bool),
+                mat=np.asarray([t["mat"] for t in rows], np.int32),
+            ))
+        blocks.extend(self._tri_blocks)
+        if not blocks:
+            return {c: None for c in cols}
+        out = {c: np.concatenate([b[c] for b in blocks]) for c in cols}
+        for c in cols:
+            if c not in ("has_vn", "mat"):
+                out[c] = out[c].astype(np.float32)
+        return out
+
+    @property
+    def n_tris(self) -> int:
+        return len(self._tris) + sum(len(b["mat"]) for b in self._tri_blocks)
 
     # -- packing -----------------------------------------------------------
 
@@ -315,51 +366,65 @@ class SceneBuilder:
             self.solid((0.5, 0.5, 0.5))
 
 
+        tri_cols = self._tri_columns()
         spheres = self._pack_spheres()
         rects = self._pack_rects()
         boxes = self._pack_boxes()
-        tris = self._pack_tris()
+        tris = self._pack_tris(tri_cols)
         materials = Materials(
-            kind=jnp.asarray([m["kind"] for m in self._mat], jnp.int32),
-            tex_id=jnp.asarray([m["tex_id"] for m in self._mat], jnp.int32),
-            fuzz=jnp.asarray([m["fuzz"] for m in self._mat], jnp.float32),
-            ir=jnp.asarray([m["ir"] for m in self._mat], jnp.float32),
+            kind=np.asarray([m["kind"] for m in self._mat], jnp.int32),
+            tex_id=np.asarray([m["tex_id"] for m in self._mat], jnp.int32),
+            fuzz=np.asarray([m["fuzz"] for m in self._mat], jnp.float32),
+            ir=np.asarray([m["ir"] for m in self._mat], jnp.float32),
         )
         textures = Textures(
-            kind=jnp.asarray([t["kind"] for t in self._tex], jnp.int32),
-            c1=jnp.asarray(np.stack([t["c1"] for t in self._tex]), jnp.float32),
-            c2=jnp.asarray(np.stack([t["c2"] for t in self._tex]), jnp.float32),
-            scale=jnp.asarray([t["scale"] for t in self._tex], jnp.float32),
-            image_id=jnp.asarray([t["image_id"] for t in self._tex], jnp.int32),
+            kind=np.asarray([t["kind"] for t in self._tex], jnp.int32),
+            c1=np.asarray(np.stack([t["c1"] for t in self._tex]), jnp.float32),
+            c2=np.asarray(np.stack([t["c2"] for t in self._tex]), jnp.float32),
+            scale=np.asarray([t["scale"] for t in self._tex], jnp.float32),
+            image_id=np.asarray([t["image_id"] for t in self._tex], jnp.int32),
         )
         atlas = self._pack_atlas()
 
         scene = Scene(
             spheres=spheres, rects=rects, boxes=boxes, triangles=tris,
             materials=materials, textures=textures, atlas=atlas,
-            background=jnp.asarray(self.background, jnp.float32),
+            background=np.asarray(self.background, jnp.float32),
             tri_bvh=None, sphere_bvh=None,
             has_sphere_media=any(s["medium"] for s in self._spheres),
             has_box_media=any(b["medium"] for b in self._boxes),
         )
 
-        n_tris = len(self._tris)
+        n_tris = self.n_tris
         n_sph = len(self._spheres)
         want_tri_bvh = n_tris > 0 and (
             bvh == "always" or (bvh == "auto" and n_tris > bvh_threshold)
         )
+        # sphere BVH at the same threshold as triangles: big_scene1 (~484
+        # spheres) must not dense-scan in the XLA engine (the kernel already
+        # BVHs at 64; measured on the CPU oracle the walk beats the dense
+        # O(N*S) scan well below this count)
         want_sph_bvh = n_sph > 1 and (
-            bvh == "always" or (bvh == "auto" and n_sph > max(bvh_threshold, 512))
+            bvh == "always" or (bvh == "auto" and n_sph > bvh_threshold)
         )
         if want_tri_bvh or want_sph_bvh:
             from ..accel import bvh as bvh_mod
 
             if want_tri_bvh:
                 scene = scene.replace(
-                    tri_bvh=bvh_mod.build_triangle_bvh(self._tris, leaf_size))
+                    tri_bvh=bvh_mod.build_triangle_bvh(tri_cols, leaf_size))
             if want_sph_bvh:
                 sph_bvh, _ = bvh_mod.build_sphere_bvh(self._spheres, leaf_size)
                 scene = scene.replace(sphere_bvh=sph_bvh)
+
+        # One bulk host->device upload; the numpy-leaf snapshot rides along on
+        # the device scene so host consumers (ops.pallas_trace.bake_scene,
+        # supports_scene) never issue device->host transfers — through the
+        # remote-TPU tunnel a per-leaf device_get costs seconds per leaf.
+        # (.replace() drops the attribute; consumers fall back to device_get.)
+        host = scene
+        scene = jax.tree.map(jnp.asarray, host)
+        object.__setattr__(scene, "_host_np", host)
         return scene
 
     def _pack_spheres(self) -> Spheres:
@@ -381,11 +446,11 @@ class SceneBuilder:
             med[i], nid[i] = s["medium"], s["nid"]
             uo[i] = s.get("u_off", 0.0)
         return Spheres(
-            center0=jnp.asarray(c0), center1=jnp.asarray(c1),
-            time0=jnp.asarray(t0), time1=jnp.asarray(t1), radius=jnp.asarray(r),
-            mat_id=jnp.asarray(mat), active=jnp.asarray(act),
-            medium=jnp.asarray(med), neg_inv_density=jnp.asarray(nid),
-            u_off=jnp.asarray(uo),
+            center0=np.asarray(c0), center1=np.asarray(c1),
+            time0=np.asarray(t0), time1=np.asarray(t1), radius=np.asarray(r),
+            mat_id=np.asarray(mat), active=np.asarray(act),
+            medium=np.asarray(med), neg_inv_density=np.asarray(nid),
+            u_off=np.asarray(uo),
         )
 
     def _pack_rects(self) -> Rects:
@@ -404,9 +469,9 @@ class SceneBuilder:
             b0[i], b1[i], k[i] = rc["b0"], rc["b1"], rc["k"]
             mat[i], act[i] = rc["mat"], True
         return Rects(
-            axis=jnp.asarray(axis), a0=jnp.asarray(a0), a1=jnp.asarray(a1),
-            b0=jnp.asarray(b0), b1=jnp.asarray(b1), k=jnp.asarray(k),
-            mat_id=jnp.asarray(mat), active=jnp.asarray(act),
+            axis=np.asarray(axis), a0=np.asarray(a0), a1=np.asarray(a1),
+            b0=np.asarray(b0), b1=np.asarray(b1), k=np.asarray(k),
+            mat_id=np.asarray(mat), active=np.asarray(act),
         )
 
     def _pack_boxes(self) -> Boxes:
@@ -426,15 +491,15 @@ class SceneBuilder:
             off[i], mat[i], act[i] = b["off"], b["mat"], True
             med[i], nid[i] = b["medium"], b["nid"]
         return Boxes(
-            bmin=jnp.asarray(bmin), bmax=jnp.asarray(bmax), cos_t=jnp.asarray(cos),
-            sin_t=jnp.asarray(sin), offset=jnp.asarray(off), mat_id=jnp.asarray(mat),
-            active=jnp.asarray(act), medium=jnp.asarray(med),
-            neg_inv_density=jnp.asarray(nid),
+            bmin=np.asarray(bmin), bmax=np.asarray(bmax), cos_t=np.asarray(cos),
+            sin_t=np.asarray(sin), offset=np.asarray(off), mat_id=np.asarray(mat),
+            active=np.asarray(act), medium=np.asarray(med),
+            neg_inv_density=np.asarray(nid),
         )
 
-    def _pack_tris(self) -> Triangles:
-        rows = self._tris
-        n = _padded(len(rows))
+    def _pack_tris(self, cols: dict) -> Triangles:
+        k = 0 if cols["mat"] is None else len(cols["mat"])
+        n = _padded(k)
         z3 = np.zeros((n, 3), np.float32)
         z2 = np.zeros((n, 2), np.float32)
         v0, e1, e2 = z3.copy(), z3.copy(), z3.copy()
@@ -445,17 +510,17 @@ class SceneBuilder:
         act = np.zeros(n, bool)
         e1[:, 0] = 1.0  # degenerate-safe padding
         e2[:, 1] = 1.0
-        for i, t in enumerate(rows):
-            v0[i], e1[i], e2[i] = t["v0"], t["e1"], t["e2"]
-            n0[i], n1[i], n2[i] = t["n0"], t["n1"], t["n2"]
-            uv0[i], uv1[i], uv2[i] = t["uv0"], t["uv1"], t["uv2"]
-            has_vn[i], mat[i], act[i] = t["has_vn"], t["mat"], True
+        if k:
+            v0[:k], e1[:k], e2[:k] = cols["v0"], cols["e1"], cols["e2"]
+            n0[:k], n1[:k], n2[:k] = cols["n0"], cols["n1"], cols["n2"]
+            uv0[:k], uv1[:k], uv2[:k] = cols["uv0"], cols["uv1"], cols["uv2"]
+            has_vn[:k], mat[:k], act[:k] = cols["has_vn"], cols["mat"], True
         return Triangles(
-            v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
-            n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
-            uv0=jnp.asarray(uv0), uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
-            has_vn=jnp.asarray(has_vn), mat_id=jnp.asarray(mat),
-            active=jnp.asarray(act),
+            v0=np.asarray(v0), e1=np.asarray(e1), e2=np.asarray(e2),
+            n0=np.asarray(n0), n1=np.asarray(n1), n2=np.asarray(n2),
+            uv0=np.asarray(uv0), uv1=np.asarray(uv1), uv2=np.asarray(uv2),
+            has_vn=np.asarray(has_vn), mat_id=np.asarray(mat),
+            active=np.asarray(act),
         )
 
     def _pack_atlas(self) -> ImageAtlas:
@@ -478,10 +543,10 @@ class SceneBuilder:
             chunks.append(img.reshape(-1))
             cursor += h * w
         return ImageAtlas(
-            data=jnp.asarray(np.concatenate(chunks), jnp.float32),
-            offset=jnp.asarray(offsets, jnp.int32),
-            width=jnp.asarray(widths, jnp.int32),
-            height=jnp.asarray(heights, jnp.int32),
+            data=np.asarray(np.concatenate(chunks), jnp.float32),
+            offset=np.asarray(offsets, jnp.int32),
+            width=np.asarray(widths, jnp.int32),
+            height=np.asarray(heights, jnp.int32),
         )
 
 

@@ -35,7 +35,12 @@ def fingerprint(settings, seed: int, scene=None) -> str:
     if scene is not None:
         import jax
 
-        leaves = jax.tree_util.tree_leaves(jax.device_get(scene))
+        # the builder's numpy snapshot avoids a per-leaf D2H round trip
+        # (seconds per leaf through the remote-TPU tunnel); same bytes either
+        # way since the device copy is an exact f32/i32 image of it
+        host = getattr(scene, "_host_np", None)
+        leaves = jax.tree_util.tree_leaves(
+            host if host is not None else jax.device_get(scene))
         for leaf in leaves:
             arr = np.asarray(leaf)
             h.update(str(arr.shape).encode())

@@ -283,6 +283,15 @@ class TestGeneralInstancing:
             if r1.hit:
                 assert r1.t == pytest.approx(float(r2.t), rel=1e-4)
                 np.testing.assert_allclose(r1.normal, r2.normal, atol=1e-5)
+                # uv is OBJECT-space (reference rotate_y keeps the wrapped
+                # object's uv, hittable.h:124-139): the yz rect's u runs
+                # along y and v along object-z; rotate_y(90) maps object-z
+                # onto world-x, which is the xy rect's u.  So the rotated
+                # rect must report u = r2.v (world y) and v = r2.u (world x)
+                # at every sample point — a swapped uv corner in the
+                # triangle lowering would break this.
+                assert float(r1.u) == pytest.approx(float(r2.v), abs=1e-5)
+                assert float(r1.v) == pytest.approx(float(r2.u), abs=1e-5)
 
     def test_rotated_rect_misses_outside(self):
         b = SceneBuilder()

@@ -132,14 +132,16 @@ class TestMeshWalk:
     def test_streamed_leaf_dma_matches_resident(self, monkeypatch):
         """HBM-streamed leaf DMA path (big meshes) vs the VMEM-resident
         path: force streaming on the door mesh (2,165 tris) by dropping the
-        threshold and require depth-1 exact agreement with the XLA tracer.
+        VMEM budget and require depth-1 exact agreement with the XLA tracer.
         On TPU this is the only kernel path for 100k-triangle scenes."""
         from raytracing_gpu_tpu.ops import pallas_trace as pt
 
         sd = scenes.get("door")
         o, d, tm = _rays_for(sd)
         r = np.asarray(trace(sd.scene, o, d, tm, KEY, max_depth=1))
-        monkeypatch.setattr(pt, "_TRI_STREAM_MIN", 64)
+        # below the door table's ~1.1 MB (forces streaming) but above its
+        # streamed node-side footprint (~0.4 MB)
+        monkeypatch.setattr(pt, "_TRI_VMEM_BUDGET", 768 * 1024)
         tracer = PallasTracer(sd.scene)
         assert tracer.bake.tri_stream
         p = np.asarray(tracer(None, o, d, tm, KEY, max_depth=1))

@@ -70,6 +70,27 @@ class TestRender:
         fp_scene = ckpt.fingerprint(st, 3, other.scene)
         assert ckpt.load(ck, fp=fp_scene) is None
 
+    def test_render_path_is_nan_free_under_checkify(self, basic):
+        """Debug tier (SURVEY §5 sanitizer plan): the render chunk body runs
+        clean under checkify's float checks — the runtime analogue of the
+        reference's abort-on-error `checkCudaErrors` (`common.h:30-38`).
+        The same checks back the CLI `--debug-nans` flag
+        (utils.profiling.enable_nan_debugging)."""
+        import jax
+        from jax.experimental import checkify
+
+        from raytracing_gpu_tpu.engine.render import chunk_sums
+
+        st = RenderSettings(aspect_ratio=basic.aspect, image_width=32,
+                            spp_per_chunk=2, num_chunks=1, max_depth=4,
+                            ray_batch=2048)
+        fn = checkify.checkify(
+            lambda k: chunk_sums(basic.scene, basic.camera, st, k),
+            errors=checkify.float_checks)
+        err, out = jax.jit(fn)(jax.random.PRNGKey(2))
+        err.throw()  # raises if any NaN/inf was produced anywhere in the chunk
+        assert np.all(np.isfinite(np.asarray(out)))
+
     def test_more_samples_reduces_noise(self, basic):
         st_lo = RenderSettings(aspect_ratio=basic.aspect, image_width=48,
                                spp_per_chunk=2, num_chunks=1, max_depth=4,

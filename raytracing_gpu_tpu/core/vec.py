@@ -101,3 +101,10 @@ def _table_gather_bwd(res, ct):
 
 
 table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)
+
+# NOTE on the image atlas (scene/textures._eval_image): it deliberately does
+# NOT use table_gather or any custom VJP.  Measured on TPU v5e (see
+# docs/PERF.md "atlas gradients"), XLA's own transpose of flat 1-D gathers —
+# batched scatter-adds — beats every hand-written alternative (segment_sum,
+# sort+cumsum+searchsorted, (P, 3)-row scatter) by 3.6-8x at 65k updates into
+# a 512k-texel atlas; a one-hot matmul is O(N*P) and infeasible at that size.

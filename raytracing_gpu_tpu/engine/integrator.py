@@ -167,7 +167,7 @@ def shade_radiance(scene: Scene, data: BounceData) -> Array:
     so the autodiff graph is this product chain + texture evaluation — tiny
     compared to the path walk.
     """
-    n = data.mat_id.shape[1]
+    depth, n = data.mat_id.shape
     # mask-MULTIPLY form, not jnp.where, with the bool->f32 conversion OUTSIDE
     # the scan: identical values (masks are exactly 0/1, all operands finite),
     # but the residuals the enclosing spp/wave scans store for the backward
@@ -179,18 +179,49 @@ def shade_radiance(scene: Scene, data: BounceData) -> Array:
     m_all = data.miss.astype(jnp.float32)
     c_all = data.cont.astype(jnp.float32)
 
+    # Image-atlas scenes: texture/material evaluation hoisted OUT of the
+    # bounce scan — one shade call over the flattened (D*N,) hit set instead
+    # of D per-bounce calls.  Same math, but the atlas gathers launch once at
+    # D x the batch (that path is gather-launch-bound — docs/PERF.md: earth
+    # fwd+bwd 1.31 -> 2.13 Mrays/s).  Matmul-shaded scenes (solid/checker)
+    # keep the per-bounce form: the fast-shade matmul fuses into the scan and
+    # hoisting costs ~5% there (Cornell 73 -> 69, measured).
+    hoist = _uses_image_textures(scene)
+    if hoist:
+        att_all, emit_all = materials_mod.shade(
+            scene, data.mat_id.reshape(-1), data.u.reshape(-1),
+            data.v.reshape(-1), data.p.reshape(-1, 3))
+        xs = (att_all.reshape(depth, n, 3), emit_all.reshape(depth, n, 3),
+              h_all, m_all, c_all)
+    else:
+        xs = (data.mat_id, data.u, data.v, data.p, h_all, m_all, c_all)
+
     def step(throughput, x):
-        mat_id, u, v, p, h, m, c = x
-        att, emit = materials_mod.shade(scene, mat_id, u, v, p)
+        if hoist:
+            att, emit, h, m, c = x
+        else:
+            mat_id, u, v, p, h, m, c = x
+            att, emit = materials_mod.shade(scene, mat_id, u, v, p)
         contrib = throughput * (m[:, None] * scene.background
                                 + h[:, None] * emit)
         throughput = throughput * (c[:, None] * att + (1.0 - c[:, None]))
         return throughput, contrib
 
-    _, contribs = jax.lax.scan(
-        step, jnp.ones((n, 3), jnp.float32),
-        (data.mat_id, data.u, data.v, data.p, h_all, m_all, c_all))
+    _, contribs = jax.lax.scan(step, jnp.ones((n, 3), jnp.float32), xs)
     return contribs.sum(axis=0)
+
+
+def _uses_image_textures(scene: Scene) -> bool:
+    """Static check: does any texture row use the image atlas?  (Concrete
+    under compile_renderer/compile_param_renderer which bake the scene;
+    conservatively False when the kind table is traced.)"""
+    import numpy as np
+    from ..scene.types import TEX_IMAGE
+
+    kinds = scene.textures.kind
+    if isinstance(kinds, jax.core.Tracer):
+        return False
+    return bool(np.any(np.asarray(kinds) == TEX_IMAGE))
 
 
 def unpack_walk(planes, need_p: bool, need_uv: bool) -> BounceData:

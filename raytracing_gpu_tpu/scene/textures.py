@@ -110,6 +110,13 @@ def _eval_image(scene: Scene, image_id: Array, u: Array, v: Array) -> Array:
     vv = 1.0 - jnp.clip(v, 0.0, 1.0)
     i = jnp.minimum((uu * w.astype(jnp.float32)).astype(jnp.int32), w - 1)
     j = jnp.minimum((vv * h.astype(jnp.float32)).astype(jnp.int32), h - 1)
+    # Three flat 1-D gathers, PLAIN autodiff — measured fastest on TPU v5e
+    # (docs/PERF.md "atlas gradients"): XLA lowers this VJP to batched 1-D
+    # scatter-adds at ~1.5 ms per 65k updates into a 512k-texel atlas.
+    # Measured alternatives are all slower: (P, 3)-row gather 3.6x (2-D
+    # gather lowering), segment_sum VJP 4.4x, sort+cumsum+searchsorted 8x,
+    # one-hot matmul O(N*P) infeasible.  The round-2 concern that this
+    # scatter serializes is empirically false on current XLA.
     base = (off + j * w + i) * 3
     rgb = jnp.stack(
         (at.data[base], at.data[base + 1], at.data[base + 2]), axis=-1

@@ -562,14 +562,57 @@ def _turb3(px, py, pz, depth=7):
     return jnp.abs(accum)
 
 
+def _deferred_albedo(tex_kinds, texk, scale, c1r, c1g, c1b, c2r, c2g, c2b,
+                     px, py, pz):
+    """Deferred texture evaluation on resolved-winner planes (once per
+    bounce, not per candidate).  solid: c1.  checker: sign-of-sines select
+    (texture.h:26-46).  perlin family: hash-gradient noise (scene/perlin.py).
+    Unused families compile away (tex_kinds is the static bake-time set).
+    Shared by the forward megakernel and the fused-VJP backward kernel
+    (ops/pallas_grad.py), which must reproduce identical albedo values."""
+    ar, ag, ab = c1r, c1g, c1b
+    if st.TEX_CHECKER in tex_kinds:
+        sines = (jnp.sin(scale * px) * jnp.sin(scale * py)
+                 * jnp.sin(scale * pz))
+        odd = (texk == st.TEX_CHECKER) & (sines < 0.0)
+        ar = jnp.where(odd, c2r, ar)
+        ag = jnp.where(odd, c2g, ag)
+        ab = jnp.where(odd, c2b, ab)
+    if tex_kinds & {st.TEX_NOISE, st.TEX_TURB, st.TEX_MARBLE}:
+        spx, spy, spz = scale * px, scale * py, scale * pz
+        turb_v = _turb3(spx, spy, spz)
+        if st.TEX_NOISE in tex_kinds:
+            gray = 0.5 * (1.0 + _noise3(spx, spy, spz))
+            sel = texk == st.TEX_NOISE
+            ar = jnp.where(sel, gray, ar)
+            ag = jnp.where(sel, gray, ag)
+            ab = jnp.where(sel, gray, ab)
+        if st.TEX_TURB in tex_kinds:
+            sel = texk == st.TEX_TURB
+            ar = jnp.where(sel, turb_v, ar)
+            ag = jnp.where(sel, turb_v, ag)
+            ab = jnp.where(sel, turb_v, ab)
+        if st.TEX_MARBLE in tex_kinds:
+            marble = 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * turb_v))
+            sel = texk == st.TEX_MARBLE
+            ar = jnp.where(sel, marble, ar)
+            ag = jnp.where(sel, marble, ag)
+            ab = jnp.where(sel, marble, ab)
+    return ar, ag, ab
+
+
 def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                  record: bool = False, need_p: bool = True,
-                 need_uv: bool = False):
+                 need_uv: bool = False, shade: bool | None = None):
     """Build the kernel function with the scene baked in.
 
     record=False: radiance outputs (forward rendering).
     record=True: per-bounce BounceData outputs (detached walk for the
     differentiable split — phase 2 shading stays in XLA, engine/integrator).
+    shade (default: not record): also accumulate radiance in-kernel.
+    record=True, shade=True is the fused differentiable forward
+    (ops/pallas_grad.py): radiance comes out of THIS kernel while the packed
+    planes become the custom-VJP residual for the Pallas backward kernel.
     The hit/cont/miss masks are packed into bits 16-18 of the mat_id output
     (one i32 store instead of four); hit points are emitted only when
     `need_p` (a scene whose used textures are all solid never reads them —
@@ -584,6 +627,8 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
     the subtree their rays touch; there are no vector gathers (Mosaic has
     none).
     """
+    if shade is None:
+        shade = not record
     # texture families the scene actually uses — unused ones compile away
     tex_kinds = {int(p["texk"]) for p in
                  (bake.rects + bake.boxes + bake.sphere_media + bake.box_media)}
@@ -610,16 +655,16 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             out_refs = rest[:-2]
         else:
             out_refs = rest
+        it = iter(out_refs)
+        if shade:
+            lr_ref, lg_ref, lb_ref = next(it), next(it), next(it)
         if record:
-            it = iter(out_refs)
             mid_ref = next(it)
             px_ref = py_ref = pz_ref = cu_ref = cv_ref = None
             if need_p:
                 px_ref, py_ref, pz_ref = next(it), next(it), next(it)
             if need_uv:
                 cu_ref, cv_ref = next(it), next(it)
-        else:
-            lr_ref, lg_ref, lb_ref = out_refs
         shape = ox_ref.shape  # (SUB, 128)
         # per-lane RNG counter base: seed mixed with the global lane id
         row_ids = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
@@ -1127,39 +1172,11 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             pz = oz + t_best * dz
 
             is_light = kind == st.DIFFUSE_LIGHT
-            if not record:
-                # -------- deferred texture evaluation (once per bounce) -----
-                # solid: c1.  checker: sign-of-sines select (texture.h:26-46).
-                # perlin family: hash-gradient noise (scene/perlin.py).
-                # Unused families compile away (tex_kinds from the bake).
-                ar, ag, ab = c1r, c1g, c1b
-                if st.TEX_CHECKER in tex_kinds:
-                    sines = (jnp.sin(scale * px) * jnp.sin(scale * py)
-                             * jnp.sin(scale * pz))
-                    odd = (texk == st.TEX_CHECKER) & (sines < 0.0)
-                    ar = jnp.where(odd, c2r, ar)
-                    ag = jnp.where(odd, c2g, ag)
-                    ab = jnp.where(odd, c2b, ab)
-                if tex_kinds & {st.TEX_NOISE, st.TEX_TURB, st.TEX_MARBLE}:
-                    spx, spy, spz = scale * px, scale * py, scale * pz
-                    turb_v = _turb3(spx, spy, spz)
-                    if st.TEX_NOISE in tex_kinds:
-                        gray = 0.5 * (1.0 + _noise3(spx, spy, spz))
-                        sel = texk == st.TEX_NOISE
-                        ar = jnp.where(sel, gray, ar)
-                        ag = jnp.where(sel, gray, ag)
-                        ab = jnp.where(sel, gray, ab)
-                    if st.TEX_TURB in tex_kinds:
-                        sel = texk == st.TEX_TURB
-                        ar = jnp.where(sel, turb_v, ar)
-                        ag = jnp.where(sel, turb_v, ag)
-                        ab = jnp.where(sel, turb_v, ab)
-                    if st.TEX_MARBLE in tex_kinds:
-                        marble = 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * turb_v))
-                        sel = texk == st.TEX_MARBLE
-                        ar = jnp.where(sel, marble, ar)
-                        ag = jnp.where(sel, marble, ag)
-                        ab = jnp.where(sel, marble, ab)
+            if shade:
+                # deferred texture evaluation (once per bounce, shared helper)
+                ar, ag, ab = _deferred_albedo(
+                    tex_kinds, texk, scale, c1r, c1g, c1b, c2r, c2g, c2b,
+                    px, py, pz)
 
                 # background on miss
                 bgr, bgg, bgb = bake.background
@@ -1244,7 +1261,7 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             ok_mask = (~is_metal | metal_ok) & ~is_light
             cont = hit & ok_mask
 
-            if not record:
+            if shade:
                 # throughput *= attenuation (dielectric attenuates by 1)
                 tr = jnp.where(cont & ~is_diel, tr * ar, tr)
                 tg = jnp.where(cont & ~is_diel, tg * ag, tg)
@@ -1294,7 +1311,7 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             return (b + 1, *bounce(b, bs[1:]))
 
         state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), *state))[1:]
-        if not record:
+        if shade:
             lr_ref[:] = state[10]
             lg_ref[:] = state[11]
             lb_ref[:] = state[12]
@@ -1304,32 +1321,37 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 
 @functools.partial(jax.jit, static_argnames=("bake_key", "max_depth", "t_min",
                                              "interpret", "record", "need_p",
-                                             "need_uv"))
+                                             "need_uv", "shade"))
 def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
          tri_table, tri_nodes, tri_links, tri_start,
          ox, oy, oz, dx, dy, dz, tm,
          max_depth, t_min, interpret, record=False, need_p=True,
-         need_uv=False):
+         need_uv=False, shade=None):
     bake = _BAKES[bake_key]
     rows = ox.shape[0]
     grid = (rows // SUB,)
+    if shade is None:
+        shade = not record
     kernel = _make_kernel(bake, max_depth, t_min,
-                          record=record, need_p=need_p, need_uv=need_uv)
+                          record=record, need_p=need_p, need_uv=need_uv,
+                          shade=shade)
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    out_specs = []
+    out_shape = []
+    if shade:
+        out_specs += [ray_spec, ray_spec, ray_spec]
+        out_shape += [jax.ShapeDtypeStruct(ox.shape, jnp.float32)] * 3
     if record:
         rec_spec = pl.BlockSpec((max_depth, SUB, LANES), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
         rec_shape = (max_depth, rows, LANES)
-        n_out = 1 + (3 if need_p else 0) + (2 if need_uv else 0)
-        out_specs = [rec_spec] * n_out
-        out_shape = (
+        n_rec = 1 + (3 if need_p else 0) + (2 if need_uv else 0)
+        out_specs += [rec_spec] * n_rec
+        out_shape += (
             [jax.ShapeDtypeStruct(rec_shape, jnp.int32)]
-            + [jax.ShapeDtypeStruct(rec_shape, jnp.float32)] * (n_out - 1)
+            + [jax.ShapeDtypeStruct(rec_shape, jnp.float32)] * (n_rec - 1)
         )
-    else:
-        out_specs = [ray_spec, ray_spec, ray_spec]
-        out_shape = [jax.ShapeDtypeStruct(ox.shape, jnp.float32)] * 3
 
     def whole(a):
         return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
@@ -1437,6 +1459,28 @@ class PallasTracer:
                           interpret=interpret)
         out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)], axis=-1)
         return out[:n]
+
+    def fused_packed(self, o, d, tm, key, max_depth=50, t_min=0.001):
+        """Shade AND record in one kernel pass: (radiance (n, 3), planes).
+
+        The fused differentiable forward (ops/pallas_grad.py): radiance is
+        the primal output, the raw TILE-PADDED record planes
+        ((D, rows, LANES) each) are the custom-VJP residual the Pallas
+        backward kernel consumes — they never round-trip through XLA autodiff.
+        """
+        interpret = jax.default_backend() != "tpu"
+        n, seed, args = self._tile_args(o, d, tm, key)
+        out = _run(
+            self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
+            self.sph_start, self.tri_table, self.tri_nodes, self.tri_links,
+            self.tri_start, *args,
+            max_depth=max_depth, t_min=t_min, interpret=interpret,
+            record=True, shade=True, need_p=self.need_p, need_uv=self.need_uv,
+        )
+        lr, lg, lb = out[:3]
+        rad = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)],
+                        axis=-1)[:n]
+        return rad, tuple(out[3:])
 
     def walk_packed(self, o, d, tm, key, max_depth=50, t_min=0.001):
         """Phase-1 detached path walk -> tuple of RAW record planes.

@@ -125,6 +125,38 @@ def _fast_shade(scene: Scene, mat_id: Array, p: Array):
     if not np.all(np.isin(tkind, (TEX_SOLID, TEX_CHECKER))):
         return None
 
+    if mkind.shape[0] <= 32:
+        # Small material tables (Cornell: 4): unrolled per-material select
+        # accumulation instead of the one-hot matmul.  The matmul's (N, M)
+        # one-hot operand materializes in HBM (16 MB per 512k-hit wave at
+        # M=8) and is read again by the VJP transpose — HBM-bound at ~140us
+        # per wave (tools/roofline.py).  The unrolled form is M fused
+        # compare+multiply-adds over the hit stream with zero extra
+        # materialization, and its XLA-AD backward is M sibling masked
+        # reductions fused into one pass.  Identical math: every per-material
+        # branch below is static (kind tables are concrete here).
+        scale_np = np.asarray(tx.scale)
+        att = jnp.zeros(mat_id.shape + (3,), jnp.float32)
+        emit = jnp.zeros(mat_id.shape + (3,), jnp.float32)
+        for mi in range(mkind.shape[0]):
+            mask = (mat_id == mi).astype(jnp.float32)[..., None]
+            alb = tx.c1[mtex[mi]]          # (3,) traced param row
+            if tkind[mi] == TEX_CHECKER:
+                s = float(scale_np[mtex[mi]])
+                sines = (jnp.sin(s * p[..., 0]) * jnp.sin(s * p[..., 1])
+                         * jnp.sin(s * p[..., 2]))
+                odd = (sines < 0.0).astype(jnp.float32)[..., None]
+                alb = alb + odd * (tx.c2[mtex[mi]] - alb)
+            if mkind[mi] == DIELECTRIC:
+                att_m = alb + (1.0 - alb)  # == 1, kept in this form so the
+                # c1 gradient stays exactly zero-sum like the matmul path
+            else:
+                att_m = alb
+            att = att + mask * att_m
+            if mkind[mi] == DIFFUSE_LIGHT:
+                emit = emit + mask * alb
+        return att, emit
+
     c1m = tx.c1[mtex]                      # (M, 3) static-index gather
     c2m = tx.c2[mtex]
     sclm = tx.scale[mtex][:, None]

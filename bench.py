@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from raytracing_gpu_tpu.core.config import RenderSettings
 from raytracing_gpu_tpu.engine import diff
-from raytracing_gpu_tpu.engine.render import compile_param_renderer
+from raytracing_gpu_tpu.engine.fused_diff import compile_fused_param_renderer
 from raytracing_gpu_tpu.models import scenes
 
 # Round-1 recorded value (TPU v5e, 2026-08-18) for relative tracking.
@@ -45,8 +45,10 @@ def main() -> None:
     key = jax.random.PRNGKey(1984)
 
     # geometry baked as XLA constants; params traced (7x faster than
-    # passing the whole scene as an argument — see engine/render.py)
-    param_chunk = compile_param_renderer(sd.scene, sd.camera, settings)
+    # passing the whole scene as an argument — see engine/render.py).
+    # The chunk's VJP is hand-scheduled (engine/fused_diff.py): walk kernel +
+    # closed-form adjoint chains, no XLA-AD residual machinery.
+    param_chunk = compile_fused_param_renderer(sd.scene, sd.camera, settings)
     params = diff.get_params(sd.scene)
     target = jnp.zeros_like(param_chunk(params, key))
 

@@ -107,7 +107,7 @@ def _shade_chain_bwd(scene0: Scene, params, planes, g, need_p: bool,
 
 def compile_fused_param_renderer(
     scene: Scene, camera: Camera, settings: RenderSettings,
-    save_planes: bool | None = None,
+    save_planes: bool | None = None, gen_rays: bool | None = None,
 ) -> Callable[[dict, Array], Array]:
     """Differentiable chunk renderer (params, key) -> (npix_pad, 3) sums with
     a hand-written custom VJP.
@@ -120,11 +120,20 @@ def compile_fused_param_renderer(
     save_planes: keep the walk kernel's record planes as the VJP residual and
     skip the re-walk in the backward pass (HBM for time: ~8 MB per wave per
     bounce-plane).  Default: on when the stacked planes fit in ~1 GB.
+
+    gen_rays: generate camera rays IN-KERNEL (pallas_trace.trace_pixels
+    docstring) instead of XLA-side threefry+thin-lens — drops the ~90-140us
+    per-wave ray-generation tax from both passes.  The sampling distribution
+    is identical but the RNG stream differs, so the primal no longer
+    bit-matches compile_param_renderer (use gen_rays=False for that).
+    Default: on when the backend is TPU.
     """
     from ..ops import pallas_trace
 
     if not pallas_trace.supports_scene(scene):
         raise ValueError("scene not supported by the pallas walk kernel")
+    if gen_rays is None:
+        gen_rays = jax.default_backend() == "tpu"
     tracer = pallas_trace.PallasTracer(scene)
     need_p, need_uv = tracer.need_p, tracer.need_uv
     h, w, npix, npix_pad, b, nb = _grid_geometry(settings)
@@ -159,7 +168,16 @@ def compile_fused_param_renderer(
     if save_planes is None:
         save_planes = plane_bytes <= (1 << 30)
 
-    def walk(key, s, bid):
+    def walk(key, base, s, bid):
+        # base: chunk_seed(key), computed ONCE outside the wave map — a
+        # threefry call per wave is the SMEM-scalar stall pattern
+        # (pallas_trace.wave_seed docstring)
+        if gen_rays:
+            seed = pallas_trace.wave_seed(base, s, bid)
+            planes = tracer.walk_packed_pixels(
+                camera, h, w, bid * b, b, seed, max_depth=max_depth,
+                t_min=t_min)
+            return tuple(p.reshape(max_depth, -1)[:, :b] for p in planes)
         o, d, tm, k_trace = wave_rays(key, s, bid)
         return tracer.walk_packed(o, d, tm, k_trace, max_depth=max_depth,
                                   t_min=t_min)
@@ -167,15 +185,19 @@ def compile_fused_param_renderer(
     # key enters as its raw uint32 key-data bitcast to f32 so the custom_vjp
     # signature is all-float (integer/key cotangents need float0 plumbing;
     # a bitcast is free and compiles away)
-    @jax.custom_vjp
-    def chunk_cvjp(params, keyf):
+    def _key_and_base(keyf):
         key = jax.random.wrap_key_data(
             jax.lax.bitcast_convert_type(keyf, jnp.uint32))
+        return key, pallas_trace.chunk_seed(key)
+
+    @jax.custom_vjp
+    def chunk_cvjp(params, keyf):
+        key, base = _key_and_base(keyf)
         scene_p = diff.set_params(scene, params)
 
         def one(x):
             s, bid = x
-            planes = walk(key, s, bid)
+            planes = walk(key, base, s, bid)
             return shade_packed(scene_p, *planes, need_p=need_p,
                                 need_uv=need_uv)
 
@@ -187,13 +209,12 @@ def compile_fused_param_renderer(
             return chunk_cvjp(params, keyf), (params, keyf, None)
         # run the walks once here and keep the stacked planes as the residual
         # (the primal radiance must still be recomputed — shade is cheap)
-        key = jax.random.wrap_key_data(
-            jax.lax.bitcast_convert_type(keyf, jnp.uint32))
+        key, base = _key_and_base(keyf)
         scene_p = diff.set_params(scene, params)
 
         def one(x):
             s, bid = x
-            planes = walk(key, s, bid)
+            planes = walk(key, base, s, bid)
             rad = shade_packed(scene_p, *planes, need_p=need_p,
                                need_uv=need_uv)
             return rad, planes
@@ -204,8 +225,7 @@ def compile_fused_param_renderer(
 
     def chunk_bwd(res, g):
         params, keyf, planes_all = res
-        key = jax.random.wrap_key_data(
-            jax.lax.bitcast_convert_type(keyf, jnp.uint32))
+        key, base = _key_and_base(keyf)
         g_waves = g.reshape(nb, b, 3)
 
         def one(acc, x):
@@ -213,7 +233,7 @@ def compile_fused_param_renderer(
                 # re-walk (deterministic in the key): residual-free
                 # composition — fwd saved only (params, key)
                 s, bid = x
-                planes = walk(key, s, bid)
+                planes = walk(key, base, s, bid)
             else:
                 bid, planes = x[0], x[1:]
             d_p = _shade_chain_bwd(scene, params, planes, g_waves[bid],

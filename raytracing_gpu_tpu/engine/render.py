@@ -110,7 +110,32 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
         # "auto" only picks pallas on real TPU (interpret mode is for tests)
         on = jax.default_backend() == "tpu" or engine == "pallas"
         if on and pallas_trace.supports_forward(scene):
-            trace_fn = pallas_trace.PallasTracer(scene)
+            # fully in-kernel chunk: camera rays are generated inside the
+            # megakernel from the wave's base pixel index (XLA-side ray
+            # generation measured ~90-140us per 65k wave — more than the
+            # walk itself; tools/roofline.py).  Seeds are scalar arithmetic
+            # per wave (see pallas_trace.wave_seed for why).
+            tracer = pallas_trace.PallasTracer(scene)
+            h, w, npix, npix_pad, b, nb = _grid_geometry(settings)
+            spp = settings.spp_per_chunk
+            s_idx = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), nb)
+            b_idx = jnp.tile(jnp.arange(nb, dtype=jnp.int32), spp)
+
+            @jax.jit
+            def chunk(key):
+                base = pallas_trace.chunk_seed(key)
+
+                def one(x):
+                    s, bid = x
+                    seed = pallas_trace.wave_seed(base, s, bid)
+                    return tracer.trace_pixels(
+                        camera, h, w, bid * b, b, seed,
+                        max_depth=settings.max_depth, t_min=settings.t_min)
+
+                rads = jax.lax.map(one, (s_idx, b_idx))
+                return rads.reshape(spp, nb, b, 3).sum(0).reshape(npix_pad, 3)
+
+            return chunk
         elif on and pallas_trace.supports_scene(scene):
             # image-textured scenes: kernel walk + XLA shade (the atlas
             # lives in XLA; the walk records mat_id/p/uv per bounce)

@@ -603,16 +603,23 @@ def _deferred_albedo(tex_kinds, texk, scale, c1r, c1g, c1b, c2r, c2g, c2b,
 
 def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                  record: bool = False, need_p: bool = True,
-                 need_uv: bool = False, shade: bool | None = None):
+                 need_uv: bool = False, shade: bool | None = None,
+                 cam: tuple | None = None):
     """Build the kernel function with the scene baked in.
 
     record=False: radiance outputs (forward rendering).
     record=True: per-bounce BounceData outputs (detached walk for the
     differentiable split — phase 2 shading stays in XLA, engine/integrator).
     shade (default: not record): also accumulate radiance in-kernel.
-    record=True, shade=True is the fused differentiable forward
-    (ops/pallas_grad.py): radiance comes out of THIS kernel while the packed
-    planes become the custom-VJP residual for the Pallas backward kernel.
+    record=True, shade=True is the fused differentiable forward: radiance
+    comes out of THIS kernel while the packed planes become the custom-VJP
+    residual (engine/fused_diff.py).
+    cam (static tuple, see _cam_tuple): generate the camera rays IN-KERNEL
+    from a per-wave base pixel index instead of taking 7 ray planes — the
+    XLA-side ray generation (threefry jitter + lens sampling + 7 HBM planes)
+    measured ~90-140us per 65k-ray wave, more than the walk itself
+    (tools/roofline.py).  Thin-lens + motion-blur sampling per the reference
+    `camera.h:49-58`, drawn from the in-kernel PCG stream.
     The hit/cont/miss masks are packed into bits 16-18 of the mat_id output
     (one i32 store instead of four); hit points are emitted only when
     `need_p` (a scene whose used textures are all solid never reads them —
@@ -647,9 +654,14 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 
     def kernel(seed_ref, sph_ref, snode_ref, slink_ref, sstart_ref,
                tri_ref, tnode_ref, tlink_ref, tstart_ref,
-               ox_ref, oy_ref, oz_ref,
-               dx_ref, dy_ref, dz_ref, tm_ref,
-               *rest):
+               *tail):
+        if cam is None:
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             tm_ref) = tail[:7]
+            rest = tail[7:]
+        else:
+            pix_ref = tail[0]
+            rest = tail[1:]
         if tri_stream:
             tri_scratch, tri_sem = rest[-2], rest[-1]
             out_refs = rest[:-2]
@@ -665,7 +677,7 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 px_ref, py_ref, pz_ref = next(it), next(it), next(it)
             if need_uv:
                 cu_ref, cv_ref = next(it), next(it)
-        shape = ox_ref.shape  # (SUB, 128)
+        shape = (SUB, LANES)
         # per-lane RNG counter base: seed mixed with the global lane id
         row_ids = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
         col_ids = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
@@ -1296,9 +1308,54 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 
         ones = jnp.ones(shape)
         zeros = jnp.zeros(shape)
-        state = (ox_ref[:], oy_ref[:], oz_ref[:],
-                 dx_ref[:], dy_ref[:], dz_ref[:], tm_ref[:],
-                 ones, ones, ones, zeros, zeros, zeros, ones)
+        if cam is None:
+            rays0 = (ox_ref[:], oy_ref[:], oz_ref[:],
+                     dx_ref[:], dy_ref[:], dz_ref[:], tm_ref[:])
+        else:
+            # ---- in-kernel thin-lens camera (reference camera.h:49-58) ----
+            (corg, cllc, chor, cver, cuv, cvv, clr, ct0, ct1,
+             img_h, img_w) = cam
+            ri = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            pix = (pix_ref[0] + pl.program_id(0) * TILE
+                   + ri * LANES + ci)
+            pix = jnp.minimum(pix, img_h * img_w - 1)  # pad: edge-duplicate
+            # i32 //,% by the constant width via f32 reciprocal + exact
+            # correction (pixels < 2^24 are f32-exact; Mosaic has no i32 div)
+            r_row = (pix.astype(jnp.float32) * (1.0 / img_w)).astype(jnp.int32)
+            r_row = r_row - (r_row * img_w > pix).astype(jnp.int32)
+            r_row = r_row + ((r_row + 1) * img_w <= pix).astype(jnp.int32)
+            c_col = pix - r_row * img_w
+            r_row = jnp.minimum(r_row, img_h - 1)
+            # camera draw window: far outside every bounce's b*32 salt window
+            cdraw = rng_base + jnp.uint32(0x7F4A7C15) * jnp.uint32(0x68E31DA4)
+            inv_w = 1.0 / max(img_w - 1, 1)
+            inv_h = 1.0 / max(img_h - 1, 1)
+            su = (c_col.astype(jnp.float32) + _uniform(cdraw, 0)) * inv_w
+            sv = ((img_h - 1 - r_row).astype(jnp.float32)
+                  + _uniform(cdraw, 1)) * inv_h
+            if clr != 0.0:
+                theta = (2.0 * math.pi) * _uniform(cdraw, 2)
+                rr = clr * jnp.sqrt(_uniform(cdraw, 3))
+                rdx = rr * jnp.cos(theta)
+                rdy = rr * jnp.sin(theta)
+                offx = cuv[0] * rdx + cvv[0] * rdy
+                offy = cuv[1] * rdx + cvv[1] * rdy
+                offz = cuv[2] * rdx + cvv[2] * rdy
+            else:
+                offx = offy = offz = zeros
+            ox0 = corg[0] + offx
+            oy0 = corg[1] + offy
+            oz0 = corg[2] + offz
+            dx0 = cllc[0] + su * chor[0] + sv * cver[0] - ox0
+            dy0 = cllc[1] + su * chor[1] + sv * cver[1] - oy0
+            dz0 = cllc[2] + su * chor[2] + sv * cver[2] - oz0
+            if ct1 != ct0:
+                tm0 = ct0 + (ct1 - ct0) * _uniform(cdraw, 4)
+            else:
+                tm0 = jnp.full(shape, ct0)
+            rays0 = (ox0, oy0, oz0, dx0, dy0, dz0, tm0)
+        state = (*rays0, ones, ones, ones, zeros, zeros, zeros, ones)
 
         # early exit: the whole tile stops as soon as every lane is dead
         # (the reference breaks per-thread, render.h:60-79; at depth-50
@@ -1321,27 +1378,28 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 
 @functools.partial(jax.jit, static_argnames=("bake_key", "max_depth", "t_min",
                                              "interpret", "record", "need_p",
-                                             "need_uv", "shade"))
+                                             "need_uv", "shade", "cam", "rows"))
 def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
          tri_table, tri_nodes, tri_links, tri_start,
          ox, oy, oz, dx, dy, dz, tm,
          max_depth, t_min, interpret, record=False, need_p=True,
-         need_uv=False, shade=None):
+         need_uv=False, shade=None, cam=None, pix_base=None, rows=None):
     bake = _BAKES[bake_key]
-    rows = ox.shape[0]
+    if rows is None:
+        rows = ox.shape[0]
     grid = (rows // SUB,)
     if shade is None:
         shade = not record
     kernel = _make_kernel(bake, max_depth, t_min,
                           record=record, need_p=need_p, need_uv=need_uv,
-                          shade=shade)
+                          shade=shade, cam=cam)
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_specs = []
     out_shape = []
     if shade:
         out_specs += [ray_spec, ray_spec, ray_spec]
-        out_shape += [jax.ShapeDtypeStruct(ox.shape, jnp.float32)] * 3
+        out_shape += [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3
     if record:
         rec_spec = pl.BlockSpec((max_depth, SUB, LANES), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
@@ -1368,6 +1426,12 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
         tri_spec = whole(tri_table)
         scratch_shapes = []
 
+    if cam is None:
+        tail_specs = [ray_spec] * 7
+        tail_args = (ox, oy, oz, dx, dy, dz, tm)
+    else:
+        tail_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # pix_base (1,)
+        tail_args = (pix_base,)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1376,16 +1440,56 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
             whole(sph_table), whole(sph_nodes), whole(sph_links),
             whole(sph_start),
             tri_spec, whole(tri_nodes), whole(tri_links), whole(tri_start),
-            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+            *tail_specs,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(seed, sph_table, sph_nodes, sph_links, sph_start,
-      tri_table, tri_nodes, tri_links, tri_start,
-      ox, oy, oz, dx, dy, dz, tm)
+      tri_table, tri_nodes, tri_links, tri_start, *tail_args)
     return out
+
+
+def chunk_seed(key) -> jax.Array:
+    """One threefry draw per chunk -> int32 scalar base for `wave_seed`."""
+    return jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+
+
+def wave_seed(base, *idx) -> jax.Array:
+    """Per-wave kernel seed by SCALAR ARITHMETIC on loop indices.
+
+    The kernel's seed is an SMEM scalar operand.  Deriving it per map
+    iteration from a dynamic-slice or a threefry call stalls the grid
+    pipeline ~20x (v5e-measured: 194 -> 9 Mrays/s e2e) — the scalar must
+    round-trip HBM->SMEM with a sync per call.  Plain i32 add/mul on the loop
+    indices stays on the scalar path (even a scalar bitcast breaks it).
+    Distinct (s, bid, ...) give distinct seeds (prime multipliers, indices
+    far below them); the kernel's PCG hash (seed * 0x85EBCA6B ^ lane, then
+    pcg) decorrelates the streams."""
+    s = jnp.asarray(base, jnp.int32)
+    for m, i in zip((7919, 104729, 1299709), idx):
+        s = s + jnp.asarray(i, jnp.int32) * jnp.int32(m)
+    return s
+
+
+def _cam_tuple(camera, img_h: int, img_w: int) -> tuple:
+    """Static (hashable) camera constants for the in-kernel ray generator.
+
+    The camera is fixed per compiled renderer, so its thin-lens basis bakes
+    into the kernel as immediates (reference `camera.h:18-47` precomputes the
+    same values once on the host).
+    """
+    def f3(a):
+        v = np.asarray(a, np.float64).reshape(3)
+        return (float(v[0]), float(v[1]), float(v[2]))
+
+    return (f3(camera.origin), f3(camera.lower_left_corner),
+            f3(camera.horizontal), f3(camera.vertical),
+            f3(camera.u), f3(camera.v),
+            float(np.asarray(camera.lens_radius)),
+            float(np.asarray(camera.time0)), float(np.asarray(camera.time1)),
+            int(img_h), int(img_w))
 
 
 # Bakes are static (hashable) jit args via an interning table keyed by
@@ -1459,6 +1563,52 @@ class PallasTracer:
                           interpret=interpret)
         out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)], axis=-1)
         return out[:n]
+
+    def trace_pixels(self, camera, img_h, img_w, pix_base, n, seed,
+                     max_depth=50, t_min=0.001):
+        """Forward radiance for pixels [pix_base, pix_base+n) with the camera
+        rays generated IN-KERNEL (jitter + thin lens + shutter time from the
+        kernel PCG stream) — no XLA-side ray planes at all.
+
+        pix_base and seed may be traced, but MUST be scalar arithmetic on the
+        enclosing loop's indices (`wave_seed`), never a per-iteration
+        dynamic-slice or threefry output: a kernel whose SMEM scalar operand
+        needs a per-iteration HBM round-trip stalls the grid pipeline ~20x
+        (measured on v5e: 194 -> 9 Mrays/s)."""
+        interpret = jax.default_backend() != "tpu"
+        cam = _cam_tuple(camera, img_h, img_w)
+        rows = -(-(-(-n // LANES)) // SUB) * SUB
+        pb = jnp.asarray(pix_base, jnp.int32).reshape(1)
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
+        lr, lg, lb = _run(
+            self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
+            self.sph_start, self.tri_table, self.tri_nodes, self.tri_links,
+            self.tri_start, None, None, None, None, None, None, None,
+            max_depth=max_depth, t_min=t_min, interpret=interpret,
+            cam=cam, pix_base=pb, rows=rows)
+        out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)],
+                        axis=-1)
+        return out[:n]
+
+    def walk_packed_pixels(self, camera, img_h, img_w, pix_base, n, seed,
+                           max_depth=50, t_min=0.001, shade=False):
+        """Record-mode walk with in-kernel camera rays -> RAW record planes
+        ((D, rows, LANES) each; crop with `.reshape(D, -1)[:, :n]`).
+        shade=True additionally returns in-kernel radiance planes first
+        ((rows, LANES) x3) — the fused forward.  Seed rules: see
+        trace_pixels."""
+        interpret = jax.default_backend() != "tpu"
+        cam = _cam_tuple(camera, img_h, img_w)
+        rows = -(-(-(-n // LANES)) // SUB) * SUB
+        pb = jnp.asarray(pix_base, jnp.int32).reshape(1)
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
+        return _run(
+            self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
+            self.sph_start, self.tri_table, self.tri_nodes, self.tri_links,
+            self.tri_start, None, None, None, None, None, None, None,
+            max_depth=max_depth, t_min=t_min, interpret=interpret,
+            record=True, shade=shade, need_p=self.need_p,
+            need_uv=self.need_uv, cam=cam, pix_base=pb, rows=rows)
 
     def fused_packed(self, o, d, tm, key, max_depth=50, t_min=0.001):
         """Shade AND record in one kernel pass: (radiance (n, 3), planes).

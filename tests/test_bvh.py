@@ -134,3 +134,56 @@ class TestMeshSceneRenders:
         img = render_linear(sd.scene, sd.camera, st, seed=1)
         assert np.all(np.isfinite(img))
         assert img.mean() > 0.05  # not black: sky + ground visible
+
+
+class Test100kTriScale:
+    """BASELINE config-5 scale (~100k triangles) exercised in CI.
+
+    The backpack stand-in is 100,352 triangles (models/scenes.py:_add_obj) —
+    the same scale as the reference's stripped backpack.obj, so the BVH depth
+    (~17 levels) and the traversal paths are tested for real, not just on the
+    2,165-tri door mesh.
+    """
+
+    def test_100k_bvh_matches_dense(self, np_rng):
+        from raytracing_gpu_tpu.models.scenes import _uv_sphere
+
+        v, f, uvs, n = _uv_sphere(224, 224)
+        assert len(f) == 100352
+        b = SceneBuilder()
+        b.mesh(v, f, b.lambertian((0.7, 0.3, 0.2)), uvs=uvs, normals=n)
+        dense = b.build(bvh="never")
+        accel = b.build(bvh="always")
+        assert accel.tri_bvh is not None
+        # rays from outside aimed through the unit sphere: most must hit, and
+        # the BVH walk must agree with the exhaustive candidate scan exactly
+        o = np_rng.uniform(-4, 4, (128, 3)).astype(np.float32)
+        o /= np.linalg.norm(o, axis=1, keepdims=True) / 3.0
+        target = np_rng.uniform(-0.7, 0.7, (128, 3)).astype(np.float32)
+        d = target - o
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        tm = jnp.zeros(128, jnp.float32)
+        r1 = closest_hit(dense, o, d, tm, KEY)
+        r2 = closest_hit(accel, o, d, tm, KEY)
+        hit = np.asarray(r1.hit)
+        np.testing.assert_array_equal(hit, np.asarray(r2.hit))
+        assert hit.sum() > 64
+        np.testing.assert_allclose(np.asarray(r1.t)[hit], np.asarray(r2.t)[hit],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1.normal)[hit],
+                                   np.asarray(r2.normal)[hit], atol=1e-5)
+
+    def test_backpack_scene_renders(self):
+        from raytracing_gpu_tpu import RenderSettings, render_linear
+        from raytracing_gpu_tpu.models import scenes
+
+        sd = scenes.get("backpack")
+        assert np.asarray(sd.scene.triangles.v0).shape[0] == 100352
+        assert sd.scene.tri_bvh is not None
+        st = RenderSettings(image_width=32, aspect_ratio=sd.aspect,
+                            spp_per_chunk=1, num_chunks=1, max_depth=3,
+                            ray_batch=1024)
+        img = render_linear(sd.scene, sd.camera, st, seed=1)
+        assert np.all(np.isfinite(img))
+        assert img.mean() > 0.02

@@ -39,23 +39,33 @@ def _downsample(img, grid=(6, 10)):
     return out
 
 
-# scene -> (published PNG, spp_per_chunk, chunks, depth, energy tol, min corr)
+# scene -> (published PNG, spp_per_chunk, chunks, depth,
+#           energy tol, min corr, max per-cell |dev|)
 # The image numbers were identified by a luminance-grid correlation sweep over
-# /root/reference/images (e.g. big_scene1 -> image7 at 0.81 while the next
-# candidate scores 0.56).  The enclosed emissive cornell scenes need ~128 spp
-# and depth 16 before the gamma-space grid stabilizes (gamma-2 of a noisy
-# estimate is biased low by Jensen; at 128 spp the cornell grid reaches
-# corr 0.99 / energy within 11% of image11).
+# /root/reference/images (e.g. basic -> image5.75 at corr 0.997 / energy 0.021
+# while the next candidate scores 0.93; triangle -> image13 at 0.997).  The
+# enclosed emissive cornell scenes need ~128 spp and depth 16 before the
+# gamma-space grid stabilizes (gamma-2 of a noisy estimate is biased low by
+# Jensen).  Bounds are calibrated ~1.5x above the measured seed-1 values
+# (2026-08: corr 0.816-0.997, max cell dev 0.012-0.222 across the set).
+#
+# big_scene1's corr CAPS at ~0.82 at any spp (measured: 0.816 at 8 spp,
+# 0.815 at 64 spp, depth 10): its 22x22 random sphere field is a different
+# curand draw than the published image — layout is statistically identical
+# but not replayable (scenes.h:150-186), so only the heroes/ground/sky
+# correlate.  The per-cell bound (0.30) still catches shading regressions.
 GOLDEN = {
-    "first": ("image6.png", 8, 1, 6, 0.12, 0.90),
-    "big_scene1": ("image7.png", 8, 1, 6, 0.15, 0.75),
-    "two_spheres": ("image8.png", 8, 1, 6, 0.12, 0.90),
-    "two_perlin_spheres": ("image9.png", 8, 1, 6, 0.15, 0.80),
-    "earth": ("image10.75.png", 16, 4, 8, 0.15, 0.95),
-    "cornell_box": ("image11.png", 32, 4, 16, 0.15, 0.95),
-    "cornell_smoke": ("image12.png", 32, 2, 16, 0.15, 0.90),
-    "triangles": ("image14.png", 8, 1, 6, 0.12, 0.95),
-    "door": ("image16.png", 8, 1, 5, 0.15, 0.85),
+    "basic": ("image5.75.png", 8, 1, 6, 0.10, 0.95, 0.15),
+    "first": ("image6.png", 8, 1, 6, 0.12, 0.95, 0.15),
+    "big_scene1": ("image7.png", 8, 1, 6, 0.15, 0.80, 0.30),
+    "two_spheres": ("image8.png", 8, 1, 6, 0.12, 0.92, 0.15),
+    "two_perlin_spheres": ("image9.png", 8, 1, 6, 0.15, 0.85, 0.30),
+    "earth": ("image10.75.png", 16, 4, 8, 0.15, 0.95, 0.10),
+    "cornell_box": ("image11.png", 32, 4, 16, 0.15, 0.95, 0.12),
+    "cornell_smoke": ("image12.png", 32, 2, 16, 0.15, 0.95, 0.13),
+    "triangle": ("image13.png", 8, 1, 6, 0.10, 0.95, 0.15),
+    "triangles": ("image14.png", 8, 1, 6, 0.12, 0.95, 0.22),
+    "door": ("image16.png", 8, 1, 5, 0.15, 0.95, 0.05),
 }
 
 
@@ -63,7 +73,7 @@ GOLDEN = {
 class TestGolden:
     @pytest.mark.parametrize("name", sorted(GOLDEN))
     def test_matches_published_render(self, name):
-        img, spp, chunks, depth, energy_tol, min_corr = GOLDEN[name]
+        img, spp, chunks, depth, energy_tol, min_corr, max_cell = GOLDEN[name]
         ref = _load(os.path.join(REF_IMG, img))
         sd = scenes.get(name)
         st = RenderSettings(image_width=120, aspect_ratio=sd.aspect,
@@ -77,3 +87,7 @@ class TestGolden:
         assert rel < energy_tol, f"{name}: energy off by {rel:.3f}"
         corr = np.corrcoef(g_ref.reshape(-1), g_ours.reshape(-1))[0, 1]
         assert corr > min_corr, f"{name}: grid corr {corr:.3f}"
+        # per-cell bound: a global correlation can stay high while one region
+        # (a wall, a light) renders materially wrong — bound every cell
+        cell = np.abs(g_ours - g_ref).max()
+        assert cell < max_cell, f"{name}: max cell deviation {cell:.3f}"

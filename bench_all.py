@@ -88,7 +88,13 @@ def bench_fwd_bwd(spp_scale: int) -> dict:
     sd = scenes.get("cornell_box")
     st = RenderSettings(image_width=512, aspect_ratio=1.0, spp_per_chunk=8,
                         num_chunks=spp_run // 8, max_depth=8, ray_batch=65536)
-    param_chunk = compile_param_renderer(sd.scene, sd.camera, st)
+    if jax.default_backend() == "tpu":
+        # same hand-scheduled VJP path bench.py reports (engine/fused_diff.py)
+        from raytracing_gpu_tpu.engine.fused_diff import \
+            compile_fused_param_renderer
+        param_chunk = compile_fused_param_renderer(sd.scene, sd.camera, st)
+    else:
+        param_chunk = compile_param_renderer(sd.scene, sd.camera, st)
     params = diff.get_params(sd.scene)
     key = jax.random.PRNGKey(1984)
     target = jnp.zeros_like(param_chunk(params, key))
@@ -184,6 +190,11 @@ CONFIGS = [
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
+                    help="force the CPU backend with N virtual devices "
+                         "(the scaling-curve methodology mesh; overrides the "
+                         "environment's preset JAX_PLATFORMS, which plain env "
+                         "edits cannot — see tests/conftest.py)")
     ap.add_argument("--spp-scale", type=int, default=1,
                     help="divide declared spp by this (rays/s is intensive)")
     ap.add_argument("--scaling", action="store_true",
@@ -194,6 +205,12 @@ def main() -> None:
                     help="comma-separated subset of configs to run")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
+    if args.cpu_mesh:
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_mesh}")
+        jax.config.update("jax_platforms", "cpu")
     run = {int(c) for c in args.configs.split(",") if c}
 
     results = []

@@ -53,6 +53,13 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--process-id", type=int, default=None)
     r.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace to this directory")
+    r.add_argument("--rr-start", type=int, default=0,
+                   help="russian roulette from this bounce (0 = off): paths "
+                        "continue w.p. clip(max throughput, .05, 1) and "
+                        "survivors are reweighted 1/p — unbiased; at the "
+                        "depth-50 default most of the bounce tail is dead "
+                        "weight on a TPU tile, so --rr-start 4 renders the "
+                        "same image materially faster (see docs/PERF.md)")
     r.add_argument("--debug-nans", action="store_true",
                    help="abort on the first NaN any jit produces "
                         "(jax_debug_nans — the debug-mode analogue of the "
@@ -124,7 +131,7 @@ def main(argv=None) -> int:
     st = RenderSettings(image_width=args.width, aspect_ratio=sd.aspect,
                         spp_per_chunk=args.spp, num_chunks=args.chunks,
                         max_depth=args.depth, ray_batch=args.ray_batch,
-                        seed=args.seed)
+                        seed=args.seed, rr_start=args.rr_start)
 
     def progress(c, n, dt):
         if not args.quiet:

@@ -27,6 +27,15 @@ class RenderSettings:
     #                                          replaces the 8x8 CUDA block shape `render.h:129-130`
     t_min: float = 0.001                     # reference `render.h:62`
     seed: int = 1984                         # reference seed `render.h:91`
+    rr_start: int = 0                        # russian roulette from this bounce
+    #                                          (0 = off).  The reference runs a
+    #                                          fixed 50-bounce loop per thread
+    #                                          (`render.h:27,60`); on TPU the
+    #                                          whole tile pays for its deepest
+    #                                          live lane, so RR is the native
+    #                                          answer to dead-lane waste at
+    #                                          depth-50 defaults.  Unbiased:
+    #                                          survivors are reweighted by 1/p.
 
     @property
     def image_height(self) -> int:

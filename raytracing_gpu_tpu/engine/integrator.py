@@ -36,6 +36,7 @@ def trace(
     key: Array,
     max_depth: int = 50,
     t_min: float = 0.001,
+    rr_start: int = 0,
 ) -> Array:
     """Estimate radiance along each ray.  Returns (N, 3).
 
@@ -43,6 +44,13 @@ def trace(
     on miss add background and terminate; otherwise add emission and continue
     with the scattered ray, or terminate if the material absorbs.
     Depth-exhausted rays contribute nothing further (`render.h:79-80`).
+
+    rr_start > 0 enables russian roulette from that bounce index: each
+    surviving path continues with probability p = clip(max(throughput), 0.05,
+    1) and is reweighted by 1/p, so the estimator stays unbiased (standard
+    RR; the reference has none — it runs the full fixed 50-bounce loop,
+    `render.h:27,60`).  On TPU this is the dead-lane answer: a wavefront tile
+    pays for its deepest live lane, and RR collapses the long tail.
     """
     n = origins.shape[0]
     state = (
@@ -75,6 +83,18 @@ def trace(
 
         cont = hit_lane & sc.ok
         throughput = jnp.where(cont[:, None], throughput * sc.attenuation, throughput)
+        if rr_start > 0:
+            # survive w.p. p = clip(max component of throughput, .05, 1);
+            # reweight survivors by 1/p.  `depth` is the scan counter, so the
+            # gate is a traced scalar select — no retrace per bounce.
+            k_rr = rng.fold(kb, 0x5252)
+            p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            do_rr = depth >= rr_start
+            survive = ~do_rr | (rng.uniform(k_rr, (throughput.shape[0],)) < p)
+            scale = jnp.where(do_rr & survive, 1.0 / p, 1.0)
+            throughput = jnp.where(cont[:, None], throughput * scale[:, None],
+                                   throughput)
+            cont = cont & survive
         o = vec.where(hit_lane, rec.p, o)
         d = vec.where(hit_lane, sc.direction, d)
         return (o, d, tm, throughput, radiance, cont)
@@ -266,12 +286,17 @@ def shade_packed(scene: Scene, *planes, need_p: bool, need_uv: bool) -> Array:
 
 def trace_diff(
     scene: Scene, origins, directions, times, key,
-    max_depth: int = 50, t_min: float = 0.001,
+    max_depth: int = 50, t_min: float = 0.001, rr_start: int = 0,
 ) -> Array:
     """Differentiable radiance estimate: identical Monte Carlo estimator to
     `trace` (same keys, same paths) but with the walk/shade split so the
     backward pass costs ~one texture-eval VJP per bounce instead of
-    differentiating the whole intersection pipeline."""
+    differentiating the whole intersection pipeline.
+
+    Russian roulette is a forward-render feature: the detached walk carries no
+    throughput, so rr_start must be 0 here (gradient workloads run at modest
+    depth where RR wins nothing; see `trace` for the forward version)."""
+    assert rr_start == 0, "russian roulette is not supported on the diff path"
     data = trace_bounces(scene, origins, directions, times, key,
                          max_depth=max_depth, t_min=t_min)
     return shade_radiance(scene, data)

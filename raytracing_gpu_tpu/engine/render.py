@@ -75,7 +75,8 @@ def chunk_sums(scene: Scene, camera: Camera, settings: RenderSettings,
             v = ((h - 1 - r).astype(jnp.float32) + jit2[:, 1]) * inv_h
             o, d, tm = camera.get_rays(k_cam, u, v)
             return trace_fn(scene, o, d, tm, k_trace,
-                            max_depth=settings.max_depth, t_min=settings.t_min)
+                            max_depth=settings.max_depth, t_min=settings.t_min,
+                            rr_start=settings.rr_start)
 
         out = jax.lax.map(
             wave,
@@ -130,7 +131,8 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
                     seed = pallas_trace.wave_seed(base, s, bid)
                     return tracer.trace_pixels(
                         camera, h, w, bid * b, b, seed,
-                        max_depth=settings.max_depth, t_min=settings.t_min)
+                        max_depth=settings.max_depth, t_min=settings.t_min,
+                        rr_start=settings.rr_start)
 
                 rads = jax.lax.map(one, (s_idx, b_idx))
                 return rads.reshape(spp, nb, b, 3).sum(0).reshape(npix_pad, 3)
@@ -143,7 +145,15 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
 
             tracer = pallas_trace.PallasTracer(scene)
 
-            def trace_fn(scene_p, o, d, tm, k, max_depth, t_min):
+            def trace_fn(scene_p, o, d, tm, k, max_depth, t_min, rr_start=0):
+                if rr_start:
+                    # the record-mode walk carries no in-kernel throughput
+                    # (albedo lives in the XLA atlas), so RR cannot shorten
+                    # it — render correctly at full depth instead
+                    import warnings
+                    warnings.warn("rr_start ignored: image-textured scenes "
+                                  "use the record-mode walk (no in-kernel "
+                                  "throughput)", stacklevel=2)
                 data = tracer.walk(o, d, tm, k, max_depth=max_depth,
                                    t_min=t_min)
                 return shade_radiance(scene_p, data)
@@ -189,7 +199,9 @@ def compile_param_renderer(scene: Scene, camera: Camera,
             sp_fn = partial(shade_packed, need_p=tracer.need_p,
                             need_uv=tracer.need_uv)
 
-            def trace_fn(scene_p, o, d, tm, k, max_depth, t_min):
+            def trace_fn(scene_p, o, d, tm, k, max_depth, t_min, rr_start=0):
+                assert rr_start == 0, \
+                    "russian roulette is not supported on the diff path"
                 planes = tracer.walk_packed(o, d, tm, k, max_depth=max_depth,
                                             t_min=t_min)
                 return sp_fn(scene_p, *planes)

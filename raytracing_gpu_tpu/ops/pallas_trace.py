@@ -604,7 +604,7 @@ def _deferred_albedo(tex_kinds, texk, scale, c1r, c1g, c1b, c2r, c2g, c2b,
 def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                  record: bool = False, need_p: bool = True,
                  need_uv: bool = False, shade: bool | None = None,
-                 cam: tuple | None = None):
+                 cam: tuple | None = None, rr_start: int = 0):
     """Build the kernel function with the scene baked in.
 
     record=False: radiance outputs (forward rendering).
@@ -1279,6 +1279,21 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 tg = jnp.where(cont & ~is_diel, tg * ag, tg)
                 tb = jnp.where(cont & ~is_diel, tb * ab, tb)
 
+            if shade and rr_start > 0:
+                # russian roulette (see integrator.trace): from bounce
+                # rr_start, continue w.p. p = clip(max throughput, .05, 1),
+                # survivors reweighted by 1/p.  On the megakernel this is the
+                # big depth-50 win: the while_loop's all-dead early exit fires
+                # as soon as the tile's tail paths are rouletted away.
+                p = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb)), 0.05, 1.0)
+                survive = (b < rr_start) | (_uniform(draw, 8) < p)
+                boost = (b >= rr_start) & survive & cont
+                inv_p = jnp.where(boost, 1.0 / p, 1.0)
+                tr = tr * inv_p
+                tg = tg * inv_p
+                tb = tb * inv_p
+                cont = cont & survive
+
             if record:
                 packed = (mid
                           | (hit.astype(jnp.int32) << 16)
@@ -1378,12 +1393,14 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 
 @functools.partial(jax.jit, static_argnames=("bake_key", "max_depth", "t_min",
                                              "interpret", "record", "need_p",
-                                             "need_uv", "shade", "cam", "rows"))
+                                             "need_uv", "shade", "cam", "rows",
+                                             "rr_start"))
 def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
          tri_table, tri_nodes, tri_links, tri_start,
          ox, oy, oz, dx, dy, dz, tm,
          max_depth, t_min, interpret, record=False, need_p=True,
-         need_uv=False, shade=None, cam=None, pix_base=None, rows=None):
+         need_uv=False, shade=None, cam=None, pix_base=None, rows=None,
+         rr_start=0):
     bake = _BAKES[bake_key]
     if rows is None:
         rows = ox.shape[0]
@@ -1392,7 +1409,7 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
         shade = not record
     kernel = _make_kernel(bake, max_depth, t_min,
                           record=record, need_p=need_p, need_uv=need_uv,
-                          shade=shade, cam=cam)
+                          shade=shade, cam=cam, rr_start=rr_start)
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_specs = []
@@ -1419,8 +1436,7 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
         # big mesh: table stays in HBM; the walk DMAs one leaf block at a
         # time into the scratch buffer
         tri_spec = pl.BlockSpec(memory_space=pl.ANY)
-        scratch_shapes = [pltpu.VMEM((bake.tri_leaf_k, _TRI_COLS),
-                                     jnp.float32),
+        scratch_shapes = [pltpu.VMEM((bake.tri_leaf_k, LANES), jnp.float32),
                           pltpu.SemaphoreType.DMA(())]
     else:
         tri_spec = whole(tri_table)
@@ -1520,6 +1536,13 @@ class PallasTracer:
                           if len(self.bake.sph_start)
                           else jnp.full((1, 1), -1, jnp.int32))
         self.tri_table = pad1(self.bake.tri_table, _TRI_COLS, np.float32)
+        if self.bake.tri_stream:
+            # streamed leaves DMA row blocks out of the HBM-resident table;
+            # Mosaic requires the copied slice to cover whole (1,128) lane
+            # tiles, so pad the 40 data columns up to one full tile (the
+            # padded memref occupies the same HBM either way)
+            self.tri_table = jnp.pad(
+                self.tri_table, ((0, 0), (0, LANES - _TRI_COLS)))
         self.tri_nodes = pad1(self.bake.tri_nodes, 6, np.float32)
         self.tri_links = pad1(self.bake.tri_links, 2, np.int32)
         self.tri_start = (jnp.asarray(self.bake.tri_start)
@@ -1551,7 +1574,8 @@ class PallasTracer:
                 (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tm)]
         return n, seed, args
 
-    def __call__(self, scene, o, d, tm, key, max_depth=50, t_min=0.001):
+    def __call__(self, scene, o, d, tm, key, max_depth=50, t_min=0.001,
+                 rr_start=0):
         """Matches engine.integrator.trace's signature (scene arg unused —
         the bake is closed over)."""
         interpret = jax.default_backend() != "tpu"
@@ -1560,12 +1584,12 @@ class PallasTracer:
                           self.sph_links, self.sph_start, self.tri_table,
                           self.tri_nodes, self.tri_links, self.tri_start,
                           *args, max_depth=max_depth, t_min=t_min,
-                          interpret=interpret)
+                          interpret=interpret, rr_start=rr_start)
         out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)], axis=-1)
         return out[:n]
 
     def trace_pixels(self, camera, img_h, img_w, pix_base, n, seed,
-                     max_depth=50, t_min=0.001):
+                     max_depth=50, t_min=0.001, rr_start=0):
         """Forward radiance for pixels [pix_base, pix_base+n) with the camera
         rays generated IN-KERNEL (jitter + thin lens + shutter time from the
         kernel PCG stream) — no XLA-side ray planes at all.
@@ -1585,7 +1609,7 @@ class PallasTracer:
             self.sph_start, self.tri_table, self.tri_nodes, self.tri_links,
             self.tri_start, None, None, None, None, None, None, None,
             max_depth=max_depth, t_min=t_min, interpret=interpret,
-            cam=cam, pix_base=pb, rows=rows)
+            cam=cam, pix_base=pb, rows=rows, rr_start=rr_start)
         out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)],
                         axis=-1)
         return out[:n]

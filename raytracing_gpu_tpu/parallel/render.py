@@ -89,7 +89,8 @@ def render_chunk_sharded(scene: Scene, camera: Camera, settings: RenderSettings,
                 o, d, tm = camera.get_rays(k_cam, u, v)
                 return trace_fn(scene, o, d, tm, k_trace,
                                 max_depth=settings.max_depth,
-                                t_min=settings.t_min)
+                                t_min=settings.t_min,
+                                rr_start=settings.rr_start)
 
             out = jax.lax.map(
                 wave,
@@ -130,7 +131,12 @@ def compile_sharded_renderer(scene: Scene, camera: Camera,
         elif on and pallas_trace.supports_scene(scene):
             tracer = pallas_trace.PallasTracer(scene)
 
-            def trace_fn(scene_p, o, d, tm, k, max_depth, t_min):
+            def trace_fn(scene_p, o, d, tm, k, max_depth, t_min, rr_start=0):
+                if rr_start:
+                    import warnings
+                    warnings.warn("rr_start ignored: image-textured scenes "
+                                  "use the record-mode walk (no in-kernel "
+                                  "throughput)", stacklevel=2)
                 data = tracer.walk(o, d, tm, k, max_depth=max_depth,
                                    t_min=t_min)
                 return shade_radiance(scene_p, data)

@@ -195,3 +195,27 @@ class TestMedia:
         assert abs(p.mean() - r.mean()) < 0.05 * max(r.mean(), 1e-6)
         corr = np.corrcoef(p.reshape(-1), r.reshape(-1))[0, 1]
         assert corr > 0.85
+
+
+class TestRussianRoulette:
+    def test_kernel_rr_matches_xla_rr_statistically(self):
+        """In-kernel RR (megakernel forward) agrees with the XLA engine's RR
+        in distribution — same clip(.05,1) survival law, independent RNG."""
+        from raytracing_gpu_tpu import RenderSettings
+        from raytracing_gpu_tpu.engine.render import compile_renderer
+
+        sd = scenes.get("cornell_box")
+        st = RenderSettings(image_width=24, aspect_ratio=1.0, spp_per_chunk=24,
+                            num_chunks=1, max_depth=16, ray_batch=576,
+                            rr_start=3)
+        key = jax.random.PRNGKey(11)
+        xla = np.asarray(compile_renderer(sd.scene, sd.camera, st,
+                                          engine="xla")(key))
+        pal = np.asarray(compile_renderer(sd.scene, sd.camera, st,
+                                          engine="pallas")(key))
+        npix = st.image_height * st.image_width
+        a = xla[:npix] / st.spp_per_chunk
+        b = pal[:npix] / st.spp_per_chunk
+        assert abs(a.mean() - b.mean()) / a.mean() < 0.1
+        corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
+        assert corr > 0.9

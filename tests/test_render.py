@@ -103,3 +103,43 @@ class TestRender:
         err_lo = np.abs(lo - ref).mean()
         err_hi = np.abs(hi - ref).mean()
         assert err_hi < err_lo
+
+
+class TestRussianRoulette:
+    """rr_start > 0: unbiased early termination (no reference analogue — the
+    reference runs its fixed 50-bounce loop, render.h:27,60)."""
+
+    def test_unbiased_mean_energy(self):
+        sd = scenes.get("cornell_box")
+        st = RenderSettings(image_width=32, aspect_ratio=1.0, spp_per_chunk=48,
+                            num_chunks=1, max_depth=50, ray_batch=1024)
+        ref = render_linear(sd.scene, sd.camera, st, seed=9)
+        rr = render_linear(sd.scene, sd.camera, st.with_(rr_start=3), seed=9)
+        # same estimator mean within MC noise of 48 spp over 1024 pixels
+        assert abs(rr.mean() - ref.mean()) / ref.mean() < 0.03
+        corr = np.corrcoef(ref.reshape(-1, 3).mean(1), rr.reshape(-1, 3).mean(1))[0, 1]
+        assert corr > 0.95
+
+    def test_rr_changes_nothing_before_start(self):
+        """Paths shorter than rr_start are untouched: with rr_start >=
+        max_depth the image is bit-identical to rr off."""
+        sd = scenes.get("basic")
+        st = RenderSettings(aspect_ratio=sd.aspect, **SMALL)
+        a = render_linear(sd.scene, sd.camera, st, seed=4)
+        b = render_linear(sd.scene, sd.camera,
+                          st.with_(rr_start=st.max_depth), seed=4)
+        np.testing.assert_array_equal(a, b)
+
+    def test_diff_path_rejects_rr(self):
+        import jax
+
+        from raytracing_gpu_tpu.engine.render import compile_param_renderer
+        from raytracing_gpu_tpu.engine import diff
+
+        sd = scenes.get("cornell_box")
+        st = RenderSettings(image_width=16, aspect_ratio=1.0, spp_per_chunk=1,
+                            num_chunks=1, max_depth=4, ray_batch=256,
+                            rr_start=4)
+        chunk = compile_param_renderer(sd.scene, sd.camera, st)
+        with pytest.raises(AssertionError, match="roulette"):
+            chunk(diff.get_params(sd.scene), jax.random.PRNGKey(0))

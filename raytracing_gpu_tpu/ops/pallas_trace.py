@@ -89,10 +89,15 @@ class SceneBake(NamedTuple):
     tri_links: np.ndarray     # (M, 2) int32 threaded (hit, miss) links
     tri_start: np.ndarray     # (M, 1) int32 leaf start row (-1 = internal)
     tri_leaf_k: int
-    tri_stream: bool          # True: tri_table stays in HBM, leaves are DMA'd
+    tri_mode: str             # "resident" | "tpose" | "stream" (see
+    #                           _bake_triangles for the decision chain)
     background: tuple
     sky: bool
     digest: str            # content hash — the jit static-arg identity
+
+    @property
+    def tri_stream(self) -> bool:
+        return self.tri_mode == "stream"
 
 
 # triangle row column layout (see _bake_triangles)
@@ -114,6 +119,18 @@ _TRI_VMEM_BUDGET = 8 * 2**20
 _TRI_LEAF_K = 4         # resident-table leaf size (unchanged from round 1)
 _TRI_STREAM_LEAF_K = 64  # streamed leaf size: fewer/fatter leaves -> fewer
                          # DMAs and a small node table (100k tris -> ~3k nodes)
+# TRANSPOSED resident mode ("tpose"): meshes too big for the row-major
+# resident table but small enough that a column-major split-precision layout
+# fits VMEM.  Row-major lane-pads every 40-column row to 128 lanes (512 B/row
+# -> 51 MB at 100k tris); transposing stores each COLUMN as a vector row, so
+# the table costs its true size: geometry (v0,e1,e2) stays f32
+# ((9->16 sublanes, T) = 64T bytes) and the 31 shading/normal/uv columns drop
+# to bf16 ((31->32, T) = 64T bytes) — 12.8 MB at 100k tris, zero DMA in the
+# walk (v5e-measured: the per-leaf DMA latency dominated the streamed walk).
+# bf16 attrs: colors/fuzz/scale quantize at ~0.4% (invisible at MC noise
+# levels); mat/kind/texk ids are exact below 256 (asserted at bake).
+_TRI_TPOSE_LEAF_K = 32   # no DMA per leaf -> smaller leaves cull better
+_TRI_TPOSE_BUDGET = 14 * 2**20
 _SPH_BVH_MIN = 64        # dense sphere loop below this many rows
 _SPH_LEAF_K = 8
 
@@ -280,13 +297,13 @@ def bake_scene(scene: st.Scene) -> SceneBake:
                             np.maximum(c0s, c1s) + rr, leaf_size=_SPH_LEAF_K)
         table, sph_nodes, sph_links, sph_start = _leaf_contiguous(
             table, bvh, _SPH_LEAF_K)
-    tri_table, tri_nodes, tri_links, tri_start, tri_leaf_k, tri_stream = \
+    tri_table, tri_nodes, tri_links, tri_start, tri_leaf_k, tri_mode = \
         _bake_triangles(scene)
     bg = tuple(float(x) for x in np.asarray(scene.background))
 
     h = __import__("hashlib").sha256()
     for part in (rects, boxes, sphere_media, box_media, bg,
-                 tri_leaf_k, tri_stream, _SPH_LEAF_K):
+                 tri_leaf_k, tri_mode, _SPH_LEAF_K):
         h.update(repr(part).encode())
     for arr in (table, sph_nodes, sph_links, sph_start,
                 tri_table, tri_nodes, tri_links, tri_start):
@@ -298,12 +315,12 @@ def bake_scene(scene: st.Scene) -> SceneBake:
                      sph_start=sph_start, sph_leaf_k=_SPH_LEAF_K,
                      tri_table=tri_table, tri_nodes=tri_nodes,
                      tri_links=tri_links, tri_start=tri_start,
-                     tri_leaf_k=tri_leaf_k, tri_stream=tri_stream,
+                     tri_leaf_k=tri_leaf_k, tri_mode=tri_mode,
                      background=bg, sky=bg != (0.0, 0.0, 0.0),
                      digest=h.hexdigest())
 
 
-def _leaf_contiguous(rows: np.ndarray, bvh, leaf_k: int):
+def _leaf_contiguous(rows: np.ndarray, bvh, leaf_k: int, tight: bool = False):
     """Reorder primitive rows so each BVH leaf owns a fixed contiguous slot.
 
     Returns (table, nodes, links, start) where table row `start[i] + k` is
@@ -317,14 +334,34 @@ def _leaf_contiguous(rows: np.ndarray, bvh, leaf_k: int):
     assert lp.shape[1] <= leaf_k
     start = np.full((m, 1), -1, np.int32)
     leaf_nodes = np.nonzero(lp[:, 0] >= 0)[0]
-    start[leaf_nodes, 0] = np.arange(len(leaf_nodes), dtype=np.int32) * leaf_k
-    flat = np.full((len(leaf_nodes), leaf_k), -1, np.int64)
-    flat[:, : lp.shape[1]] = lp[leaf_nodes]
-    flat = flat.reshape(-1)
-    rows_pad = np.concatenate(
-        [rows, np.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
-    src = np.where(flat >= 0, flat, rows.shape[0])
-    table = rows_pad[src]
+    if tight:
+        # TIGHT layout (tpose mode): leaves own [start, start+count) with NO
+        # pad rows; the kernel's static leaf_k-iteration loop may overrun
+        # into the next leaf's rows, which is CORRECT — candidate tests are
+        # idempotent min-updates over real triangles (an overrun tri tested
+        # under this leaf's box_mask can only add a legitimate hit; any hit
+        # it would contribute is also found when its own leaf is visited).
+        # Only the table END needs leaf_k all-zero rows (auto-fail: e1=e2=0
+        # => |det| <= 1e-7).  Saves the ~30-44% leaf-pad VMEM that decides
+        # whether a 100k-tri mesh fits on-chip.
+        sel = lp[leaf_nodes]
+        counts = (sel >= 0).sum(axis=1).astype(np.int32)
+        offs = np.zeros(len(leaf_nodes), np.int32)
+        offs[1:] = np.cumsum(counts)[:-1].astype(np.int32)
+        start[leaf_nodes, 0] = offs
+        table = np.concatenate(
+            [rows[sel[sel >= 0]],
+             np.zeros((leaf_k, rows.shape[1]), rows.dtype)], axis=0)
+    else:
+        start[leaf_nodes, 0] = (np.arange(len(leaf_nodes), dtype=np.int32)
+                                * leaf_k)
+        flat = np.full((len(leaf_nodes), leaf_k), -1, np.int64)
+        flat[:, : lp.shape[1]] = lp[leaf_nodes]
+        flat = flat.reshape(-1)
+        rows_pad = np.concatenate(
+            [rows, np.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
+        src = np.where(flat >= 0, flat, rows.shape[0])
+        table = rows_pad[src]
     nodes = np.concatenate([np.asarray(bvh.node_min, np.float32),
                             np.asarray(bvh.node_max, np.float32)], axis=1)
     links = np.stack([np.asarray(bvh.hit_link, np.int32),
@@ -353,7 +390,7 @@ def _bake_triangles(scene):
         return (np.zeros((0, _TRI_COLS), np.float32),
                 np.zeros((0, 6), np.float32),
                 np.zeros((0, 2), np.int32), np.full((0, 1), -1, np.int32),
-                _TRI_LEAF_K, False)
+                _TRI_LEAF_K, "resident")
 
     rows = np.zeros((n_all, _TRI_COLS), np.float32)
     v0 = np.asarray(tr.v0, np.float32)
@@ -402,37 +439,58 @@ def _bake_triangles(scene):
     bmin = np.where(flat, bmin - bvh_mod.BBOX_PAD, bmin)
     bmax = np.where(flat, bmax + bvh_mod.BBOX_PAD, bmax)
 
-    # resident first (leaf_k=4 minimizes candidate tests); fall back to the
-    # streamed layout when the measured footprint busts the VMEM budget.
-    # (Skip the resident build when the table alone cannot fit.)
-    stream = len(keep) * 512 > _TRI_VMEM_BUDGET
-    if not stream:
+    from ..utils.profiling import logger
+
+    # Decision chain: row-major resident (leaf_k=4, cheapest candidate
+    # count) -> transposed resident (split-precision, zero DMA; the v5e
+    # measurement that motivated it: per-leaf DMA latency dominated the
+    # streamed 100k-tri walk at ~18 ms/bounce/wave) -> HBM streaming (only
+    # when even the transposed layout cannot fit VMEM).
+    fits_resident = len(keep) * 512 <= _TRI_VMEM_BUDGET
+    if fits_resident:
         bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=_TRI_LEAF_K)
         table, nodes, links, start = _leaf_contiguous(rows[keep], bvh,
                                                       _TRI_LEAF_K)
-        stream = _tri_vmem_bytes(len(table), len(nodes), False) > _TRI_VMEM_BUDGET
-        if not stream:
-            return table, nodes, links, start, _TRI_LEAF_K, False
+        if _tri_vmem_bytes(len(table), len(nodes),
+                           "resident") <= _TRI_VMEM_BUDGET:
+            return table, nodes, links, start, _TRI_LEAF_K, "resident"
+    bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=_TRI_TPOSE_LEAF_K)
+    table, nodes, links, start = _leaf_contiguous(rows[keep], bvh,
+                                                  _TRI_TPOSE_LEAF_K,
+                                                  tight=True)
+    tb = _tri_vmem_bytes(len(table), len(nodes), "tpose")
+    if tb <= _TRI_TPOSE_BUDGET:
+        # bf16 holds integers exactly below 256 — the id columns must fit
+        assert rows[:, [_TRI_KIND, _TRI_MAT, _TRI_TEXK]].max() < 256, \
+            "tpose mode stores id columns in bf16; ids must be < 256"
+        logger.debug("tri bake: %d tris transposed-resident, %d nodes, "
+                     "%.1f MB VMEM", len(keep), len(nodes), tb / 2**20)
+        return table, nodes, links, start, _TRI_TPOSE_LEAF_K, "tpose"
     bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=_TRI_STREAM_LEAF_K)
     table, nodes, links, start = _leaf_contiguous(rows[keep], bvh,
                                                   _TRI_STREAM_LEAF_K)
-    node_bytes = _tri_vmem_bytes(0, len(nodes), True)
+    node_bytes = _tri_vmem_bytes(0, len(nodes), "stream")
     assert node_bytes <= _TRI_VMEM_BUDGET, (
         f"streamed-mode node arrays need {node_bytes / 2**20:.1f} MB VMEM "
         f"(> {_TRI_VMEM_BUDGET / 2**20:.0f} MB budget); raise "
         f"_TRI_STREAM_LEAF_K for meshes this large")
-    from ..utils.profiling import logger
-
     logger.debug("tri bake: %d tris streamed, %d nodes, %.1f MB VMEM node-side",
                  len(keep), len(nodes), node_bytes / 2**20)
-    return table, nodes, links, start, _TRI_STREAM_LEAF_K, True
+    return table, nodes, links, start, _TRI_STREAM_LEAF_K, "stream"
 
 
-def _tri_vmem_bytes(n_table_rows: int, n_nodes: int, stream: bool) -> int:
-    """Estimated VMEM cost of the kernel's triangle-side arrays: every row of
-    every array lane-pads to 128 lanes (512 B); nodes/links/start are three
-    arrays; streamed mode adds the leaf scratch block instead of the table."""
-    scratch = _TRI_STREAM_LEAF_K * 512 if stream else 0
+def _tri_vmem_bytes(n_table_rows: int, n_nodes: int, mode: str) -> int:
+    """Estimated VMEM cost of the kernel's triangle-side arrays.
+
+    resident/stream: every row of every row-major array lane-pads to 128
+    lanes (512 B); nodes/links/start are three arrays; streamed mode holds
+    the leaf scratch block instead of the table.
+    tpose: table = f32 geometry (9->16 sublanes, T) + bf16 attrs
+    (31->32, T) = 128 B/tri; each transposed node array sublane-pads to
+    (8, M) = 32 B/node."""
+    if mode == "tpose":
+        return n_table_rows * 128 + 3 * n_nodes * 32
+    scratch = _TRI_STREAM_LEAF_K * 512 if mode == "stream" else 0
     return (n_table_rows + 3 * n_nodes) * 512 + scratch
 
 
@@ -650,10 +708,11 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
     sph_leaf_k = bake.sph_leaf_k
     n_tri_nodes = len(bake.tri_nodes)
     tri_leaf_k = bake.tri_leaf_k
-    tri_stream = bake.tri_stream
+    tri_mode = bake.tri_mode
+    tri_stream = tri_mode == "stream"
 
     def kernel(seed_ref, sph_ref, snode_ref, slink_ref, sstart_ref,
-               tri_ref, tnode_ref, tlink_ref, tstart_ref,
+               tri_ref, tattr_ref, tnode_ref, tlink_ref, tstart_ref,
                *tail):
         if cam is None:
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -832,26 +891,27 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 ivy = inv_safe(dy)
                 ivz = inv_safe(dz)
 
-            def packet_walk(node_ref, link_ref, start_ref, leaf_fn, carry):
+            def packet_walk(read_node, read_link, read_start, leaf_fn, carry):
                 """Threaded-BVH walk in PACKET form — the TPU-native answer
                 to per-ray pointer chasing (reference `bvh.h:348-436`): the
                 whole (SUB, 128) tile walks with ONE scalar node cursor; node
-                bounds are scalar VMEM reads, the slab test is vector math
-                over the tile, and a `jnp.any` reduction decides descend vs
-                skip (hit_link vs miss_link; preorder links only move
-                forward, so the walk terminates)."""
+                bounds are scalar VMEM reads (via reader lambdas so the node
+                arrays may be row-major (M, C) or transposed (C, M)), the
+                slab test is vector math over the tile, and a `jnp.any`
+                reduction decides descend vs skip (hit_link vs miss_link;
+                preorder links only move forward, so the walk terminates)."""
                 def wcond(state):
                     return state[0] >= 0
 
                 def wbody(state):
                     node = state[0]
                     carry = state[1:]
-                    lo_x = node_ref[node, 0]
-                    lo_y = node_ref[node, 1]
-                    lo_z = node_ref[node, 2]
-                    hi_x = node_ref[node, 3]
-                    hi_y = node_ref[node, 4]
-                    hi_z = node_ref[node, 5]
+                    lo_x = read_node(node, 0)
+                    lo_y = read_node(node, 1)
+                    lo_z = read_node(node, 2)
+                    hi_x = read_node(node, 3)
+                    hi_y = read_node(node, 4)
+                    hi_z = read_node(node, 5)
                     tx0 = (lo_x - ox) * ivx
                     tx1 = (hi_x - ox) * ivx
                     ty0 = (lo_y - oy) * ivy
@@ -868,13 +928,13 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                         jnp.maximum(tz0, tz1))
                     hit_box = (tf >= jnp.maximum(tn, t_min)) & (tn <= carry[0])
                     any_hit = jnp.any(hit_box)
-                    base = start_ref[node, 0]
+                    base = read_start(node)
                     carry = jax.lax.cond(
                         any_hit & (base >= 0),
                         lambda c: leaf_fn(base, hit_box, c),
                         lambda c: c, carry)
-                    nxt = jnp.where(any_hit, link_ref[node, 0],
-                                    link_ref[node, 1])
+                    nxt = jnp.where(any_hit, read_link(node, 0),
+                                    read_link(node, 1))
                     return (nxt, *carry)
 
                 state = jax.lax.while_loop(wcond, wbody,
@@ -953,7 +1013,9 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                         carry = sphere_candidate(base + kk, box_mask, carry)
                     return carry
 
-                carry = packet_walk(snode_ref, slink_ref, sstart_ref,
+                carry = packet_walk(lambda n, c: snode_ref[n, c],
+                                    lambda n, c: slink_ref[n, c],
+                                    lambda n: sstart_ref[n, 0],
                                     sph_leaf, carry)
             elif n_sphere_rows > 0:
                 # few spheres: dense candidate loop over all rows
@@ -1038,6 +1100,28 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                                 lambda col, kk=kk: tri_scratch[kk, col],
                                 box_mask, carry)
                         return carry
+                elif tri_mode == "tpose":
+                    # transposed split-precision resident table: geometry
+                    # columns are f32 rows of tri_ref (9, Tpad); the 31
+                    # shading/normal/uv columns live as bf16 PAIRS packed
+                    # into i32 rows of tattr_ref (Mosaic only does 32-bit
+                    # scalar loads: even col = low half, odd col = high)
+                    def tri_leaf(base, box_mask, carry):
+                        for kk in range(tri_leaf_k):
+                            def read(col, kk=kk):
+                                if col < _TRI_N0:
+                                    return tri_ref[col, base + kk]
+                                c = col - _TRI_N0
+                                w = tattr_ref[c // 2, base + kk]
+                                bits = (w << 16 if c % 2 == 0
+                                        else w & jnp.int32(-65536))
+                                # tpu.bitcast is vector-only: broadcast the
+                                # scalar word, then bitcast the tile
+                                return jax.lax.bitcast_convert_type(
+                                    jnp.full(shape, bits, jnp.int32),
+                                    jnp.float32)
+                            carry = tri_candidate(read, box_mask, carry)
+                        return carry
                 else:
                     def tri_leaf(base, box_mask, carry):
                         for kk in range(tri_leaf_k):
@@ -1046,8 +1130,16 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                                 box_mask, carry)
                         return carry
 
-                carry = packet_walk(tnode_ref, tlink_ref, tstart_ref,
-                                    tri_leaf, carry)
+                if tri_mode == "tpose":
+                    carry = packet_walk(lambda n, c: tnode_ref[c, n],
+                                        lambda n, c: tlink_ref[c, n],
+                                        lambda n: tstart_ref[0, n],
+                                        tri_leaf, carry)
+                else:
+                    carry = packet_walk(lambda n, c: tnode_ref[n, c],
+                                        lambda n, c: tlink_ref[n, c],
+                                        lambda n: tstart_ref[n, 0],
+                                        tri_leaf, carry)
 
             (t_best, nx, ny, nz, kind, mid, c1r, c1g, c1b, c2r, c2g, c2b,
              scale, texk, fuzz, ir_v, cu, cv, sphf) = carry
@@ -1396,7 +1488,7 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                                              "need_uv", "shade", "cam", "rows",
                                              "rr_start"))
 def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
-         tri_table, tri_nodes, tri_links, tri_start,
+         tri_table, tri_attr, tri_nodes, tri_links, tri_start,
          ox, oy, oz, dx, dy, dz, tm,
          max_depth, t_min, interpret, record=False, need_p=True,
          need_uv=False, shade=None, cam=None, pix_base=None, rows=None,
@@ -1441,6 +1533,7 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
     else:
         tri_spec = whole(tri_table)
         scratch_shapes = []
+    attr_spec = whole(tri_attr)
 
     if cam is None:
         tail_specs = [ray_spec] * 7
@@ -1455,7 +1548,8 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
             whole(sph_table), whole(sph_nodes), whole(sph_links),
             whole(sph_start),
-            tri_spec, whole(tri_nodes), whole(tri_links), whole(tri_start),
+            tri_spec, attr_spec, whole(tri_nodes), whole(tri_links),
+            whole(tri_start),
             *tail_specs,
         ],
         out_specs=out_specs,
@@ -1463,7 +1557,7 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(seed, sph_table, sph_nodes, sph_links, sph_start,
-      tri_table, tri_nodes, tri_links, tri_start, *tail_args)
+      tri_table, tri_attr, tri_nodes, tri_links, tri_start, *tail_args)
     return out
 
 
@@ -1535,19 +1629,49 @@ class PallasTracer:
         self.sph_start = (jnp.asarray(self.bake.sph_start)
                           if len(self.bake.sph_start)
                           else jnp.full((1, 1), -1, jnp.int32))
-        self.tri_table = pad1(self.bake.tri_table, _TRI_COLS, np.float32)
-        if self.bake.tri_stream:
-            # streamed leaves DMA row blocks out of the HBM-resident table;
-            # Mosaic requires the copied slice to cover whole (1,128) lane
-            # tiles, so pad the 40 data columns up to one full tile (the
-            # padded memref occupies the same HBM either way)
-            self.tri_table = jnp.pad(
-                self.tri_table, ((0, 0), (0, LANES - _TRI_COLS)))
-        self.tri_nodes = pad1(self.bake.tri_nodes, 6, np.float32)
-        self.tri_links = pad1(self.bake.tri_links, 2, np.int32)
-        self.tri_start = (jnp.asarray(self.bake.tri_start)
-                          if len(self.bake.tri_start)
-                          else jnp.full((1, 1), -1, jnp.int32))
+        if self.bake.tri_mode == "tpose":
+            # transposed split-precision resident layout (see the
+            # _TRI_TPOSE_LEAF_K comment): f32 geometry (9, Tpad) +
+            # bf16 attrs (31, Tpad) + transposed node arrays (C, Mpad).
+            # Pad the minor dims to whole 128-lane tiles; pad entries are
+            # never referenced (no leaf/link points there).
+            def tpad(a, dtype):
+                at = np.ascontiguousarray(np.asarray(a).T)
+                pad = (-at.shape[1]) % LANES
+                at = np.pad(at, ((0, 0), (0, pad)))
+                return jnp.asarray(at, dtype)
+
+            tt = self.bake.tri_table
+            self.tri_table = tpad(tt[:, :_TRI_N0], np.float32)
+            # bf16 attr pairs packed into i32 words (round-to-nearest-even);
+            # Mosaic supports only 32-bit scalar loads, so col 2r sits in the
+            # low half of word r and col 2r+1 in the high half
+            at = tt[:, _TRI_N0:].astype(np.float32)
+            if at.shape[1] % 2:
+                at = np.pad(at, ((0, 0), (0, 1)))
+            u = at.view(np.uint32)
+            b16 = ((u + 0x7FFF + ((u >> 16) & 1)) >> 16).astype(np.uint32)
+            packed = (b16[:, 0::2] | (b16[:, 1::2] << 16)).astype(np.uint32)
+            self.tri_attr = tpad(packed.view(np.int32), np.int32)
+            self.tri_nodes = tpad(self.bake.tri_nodes, np.float32)
+            self.tri_links = tpad(self.bake.tri_links, np.int32)
+            self.tri_start = tpad(self.bake.tri_start, np.int32)
+        else:
+            self.tri_table = pad1(self.bake.tri_table, _TRI_COLS, np.float32)
+            if self.bake.tri_stream:
+                # streamed leaves DMA row blocks out of the HBM-resident
+                # table; Mosaic requires the copied slice to cover whole
+                # (1,128) lane tiles, so pad the 40 data columns up to one
+                # full tile (the padded memref occupies the same HBM
+                # either way)
+                self.tri_table = jnp.pad(
+                    self.tri_table, ((0, 0), (0, LANES - _TRI_COLS)))
+            self.tri_attr = jnp.zeros((1, LANES), jnp.int32)  # unused
+            self.tri_nodes = pad1(self.bake.tri_nodes, 6, np.float32)
+            self.tri_links = pad1(self.bake.tri_links, 2, np.int32)
+            self.tri_start = (jnp.asarray(self.bake.tri_start)
+                              if len(self.bake.tri_start)
+                              else jnp.full((1, 1), -1, jnp.int32))
         self.n_tri_nodes = len(self.bake.tri_nodes)
         self.n_sph_nodes = len(self.bake.sph_nodes)
         # phase-2 shading reads hit points only for position-dependent
@@ -1582,7 +1706,8 @@ class PallasTracer:
         n, seed, args = self._tile_args(o, d, tm, key)
         lr, lg, lb = _run(self.key, seed, self.sph_table, self.sph_nodes,
                           self.sph_links, self.sph_start, self.tri_table,
-                          self.tri_nodes, self.tri_links, self.tri_start,
+                          self.tri_attr, self.tri_nodes, self.tri_links,
+                          self.tri_start,
                           *args, max_depth=max_depth, t_min=t_min,
                           interpret=interpret, rr_start=rr_start)
         out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)], axis=-1)
@@ -1606,7 +1731,8 @@ class PallasTracer:
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
         lr, lg, lb = _run(
             self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
-            self.sph_start, self.tri_table, self.tri_nodes, self.tri_links,
+            self.sph_start, self.tri_table, self.tri_attr, self.tri_nodes,
+            self.tri_links,
             self.tri_start, None, None, None, None, None, None, None,
             max_depth=max_depth, t_min=t_min, interpret=interpret,
             cam=cam, pix_base=pb, rows=rows, rr_start=rr_start)
@@ -1628,7 +1754,8 @@ class PallasTracer:
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
         return _run(
             self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
-            self.sph_start, self.tri_table, self.tri_nodes, self.tri_links,
+            self.sph_start, self.tri_table, self.tri_attr, self.tri_nodes,
+            self.tri_links,
             self.tri_start, None, None, None, None, None, None, None,
             max_depth=max_depth, t_min=t_min, interpret=interpret,
             record=True, shade=shade, need_p=self.need_p,
@@ -1646,7 +1773,8 @@ class PallasTracer:
         n, seed, args = self._tile_args(o, d, tm, key)
         out = _run(
             self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
-            self.sph_start, self.tri_table, self.tri_nodes, self.tri_links,
+            self.sph_start, self.tri_table, self.tri_attr, self.tri_nodes,
+            self.tri_links,
             self.tri_start, *args,
             max_depth=max_depth, t_min=t_min, interpret=interpret,
             record=True, shade=True, need_p=self.need_p, need_uv=self.need_uv,
@@ -1672,7 +1800,8 @@ class PallasTracer:
         n, seed, args = self._tile_args(o, d, tm, key)
         out = _run(
             self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
-            self.sph_start, self.tri_table, self.tri_nodes, self.tri_links,
+            self.sph_start, self.tri_table, self.tri_attr, self.tri_nodes,
+            self.tri_links,
             self.tri_start, *args,
             max_depth=max_depth, t_min=t_min, interpret=interpret, record=True,
             need_p=self.need_p, need_uv=self.need_uv,

@@ -147,6 +147,23 @@ class TestMeshWalk:
         p = np.asarray(tracer(None, o, d, tm, KEY, max_depth=1))
         np.testing.assert_allclose(p, r, rtol=1e-4, atol=1e-5)
 
+    def test_tpose_resident_matches_xla(self, monkeypatch):
+        """Transposed split-precision resident path (big meshes) vs the XLA
+        tracer: force it on the door mesh (2,165 tris) by dropping the
+        row-major VMEM budget; depth-1 forward must agree up to the bf16
+        attribute quantization (geometry stays f32, so hit/miss and t are
+        exact)."""
+        from raytracing_gpu_tpu.ops import pallas_trace as pt
+
+        sd = scenes.get("door")
+        o, d, tm = _rays_for(sd)
+        r = np.asarray(trace(sd.scene, o, d, tm, KEY, max_depth=1))
+        monkeypatch.setattr(pt, "_TRI_VMEM_BUDGET", 256 * 1024)
+        tracer = PallasTracer(sd.scene)
+        assert tracer.bake.tri_mode == "tpose"
+        p = np.asarray(tracer(None, o, d, tm, KEY, max_depth=1))
+        np.testing.assert_allclose(p, r, rtol=1e-2, atol=1e-2)
+
     def test_walk_records_uv_for_image_textures(self):
         sd = scenes.get("door")
         tracer = PallasTracer(sd.scene)

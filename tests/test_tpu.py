@@ -91,10 +91,11 @@ def test_differentiable_chunk_on_tpu(tpu):
     assert np.abs(np.asarray(g["tex_c1"])).max() > 0.0
 
 
-def test_100k_tri_streamed_walk_matches_xla(tpu):
-    """Config-5 scale on the real chip: the streamed-leaf DMA path at its
-    actual 100,352-triangle size (the CPU tier only streams the 2,165-tri
-    door mesh with a lowered threshold) against the XLA BVH walk."""
+def test_100k_tri_walk_matches_xla(tpu):
+    """Config-5 scale on the real chip: the transposed split-precision
+    resident path at its actual 100,352-triangle size (the CPU tier only
+    exercises the 2,165-tri door mesh with a lowered threshold) against the
+    XLA BVH walk."""
     import jax
 
     from raytracing_gpu_tpu.engine.intersect import closest_hit
@@ -105,7 +106,8 @@ def test_100k_tri_streamed_walk_matches_xla(tpu):
     ntri = np.asarray(sd.scene.triangles.v0).shape[0]
     assert ntri == 100352
     tracer = pt.PallasTracer(sd.scene)
-    assert tracer.bake.tri_stream  # table too big for VMEM => HBM streaming
+    # row-major 51 MB can't fit VMEM, but the 12.8 MB transposed layout does
+    assert tracer.bake.tri_mode == "tpose"
     o, d, tm = _rays(sd, 8192, 3)
     k = jax.random.PRNGKey(9)
     planes = tracer.walk_packed(o, d, tm, k, max_depth=4)
@@ -120,6 +122,28 @@ def test_100k_tri_streamed_walk_matches_xla(tpu):
     mid_k = (packed[0] & 0xFFFF)[hit_k]
     mid_x = np.asarray(rec.mat_id)[hit_x]
     np.testing.assert_array_equal(mid_k, mid_x)
+
+
+def test_100k_tri_streamed_walk_matches_xla(tpu, monkeypatch):
+    """The HBM-streamed leaf-DMA fallback (meshes too big even for the
+    transposed resident layout) forced at 100,352-triangle scale."""
+    import jax
+
+    from raytracing_gpu_tpu.engine.intersect import closest_hit
+    from raytracing_gpu_tpu.models import scenes
+    from raytracing_gpu_tpu.ops import pallas_trace as pt
+
+    monkeypatch.setattr(pt, "_TRI_TPOSE_BUDGET", 0)
+    sd = scenes.get("backpack")
+    tracer = pt.PallasTracer(sd.scene)
+    assert tracer.bake.tri_stream
+    o, d, tm = _rays(sd, 4096, 3)
+    k = jax.random.PRNGKey(9)
+    planes = tracer.walk_packed(o, d, tm, k, max_depth=2)
+    hit_k = (np.asarray(planes[0])[0] & (1 << 16)) != 0
+    hit_x = np.asarray(closest_hit(sd.scene, o, d, tm, k).hit)
+    np.testing.assert_array_equal(hit_k, hit_x)
+    assert hit_k.sum() > 500
 
 
 def test_fused_diff_chunk_on_tpu(tpu):

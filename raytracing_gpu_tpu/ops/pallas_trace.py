@@ -131,6 +131,14 @@ _TRI_STREAM_LEAF_K = 64  # streamed leaf size: fewer/fatter leaves -> fewer
 # levels); mat/kind/texk ids are exact below 256 (asserted at bake).
 _TRI_TPOSE_LEAF_K = 32   # no DMA per leaf -> smaller leaves cull better
 _TRI_TPOSE_BUDGET = 14 * 2**20
+# GATED OFF by default: Mosaic cannot lower the transposed layout's
+# dynamic-LANE scalar reads ("cannot statically prove that index in
+# dimension 1 is a multiple of 128" on a real v5e) — row-major walks index
+# dynamically on the SUBLANE dim, which is supported.  The mode is kept
+# (correct under interpret, tested in test_pallas_trace.py) until the
+# aligned-leaf vector-load rewrite lands; big meshes use the TPU-proven
+# streamed-leaf DMA path meanwhile.
+_TRI_TPOSE_ENABLED = False
 _SPH_BVH_MIN = 64        # dense sphere loop below this many rows
 _SPH_LEAF_K = 8
 
@@ -442,10 +450,8 @@ def _bake_triangles(scene):
     from ..utils.profiling import logger
 
     # Decision chain: row-major resident (leaf_k=4, cheapest candidate
-    # count) -> transposed resident (split-precision, zero DMA; the v5e
-    # measurement that motivated it: per-leaf DMA latency dominated the
-    # streamed 100k-tri walk at ~18 ms/bounce/wave) -> HBM streaming (only
-    # when even the transposed layout cannot fit VMEM).
+    # count) -> [transposed resident, gated off: see _TRI_TPOSE_ENABLED]
+    # -> HBM streaming.
     fits_resident = len(keep) * 512 <= _TRI_VMEM_BUDGET
     if fits_resident:
         bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=_TRI_LEAF_K)
@@ -454,11 +460,15 @@ def _bake_triangles(scene):
         if _tri_vmem_bytes(len(table), len(nodes),
                            "resident") <= _TRI_VMEM_BUDGET:
             return table, nodes, links, start, _TRI_LEAF_K, "resident"
-    bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=_TRI_TPOSE_LEAF_K)
-    table, nodes, links, start = _leaf_contiguous(rows[keep], bvh,
-                                                  _TRI_TPOSE_LEAF_K,
-                                                  tight=True)
-    tb = _tri_vmem_bytes(len(table), len(nodes), "tpose")
+    if _TRI_TPOSE_ENABLED:
+        bvh = bvh_mod.build(bmin[keep], bmax[keep],
+                            leaf_size=_TRI_TPOSE_LEAF_K)
+        table, nodes, links, start = _leaf_contiguous(rows[keep], bvh,
+                                                      _TRI_TPOSE_LEAF_K,
+                                                      tight=True)
+        tb = _tri_vmem_bytes(len(table), len(nodes), "tpose")
+    else:
+        tb = _TRI_TPOSE_BUDGET + 1
     if tb <= _TRI_TPOSE_BUDGET:
         # bf16 holds integers exactly below 256 — the id columns must fit
         assert rows[:, [_TRI_KIND, _TRI_MAT, _TRI_TEXK]].max() < 256, \

@@ -139,9 +139,11 @@ class TestMeshWalk:
         sd = scenes.get("door")
         o, d, tm = _rays_for(sd)
         r = np.asarray(trace(sd.scene, o, d, tm, KEY, max_depth=1))
-        # below the door table's ~1.1 MB (forces streaming) but above its
-        # streamed node-side footprint (~0.4 MB)
+        # below the door table's ~1.1 MB row-major footprint AND below its
+        # transposed footprint (so the bake falls through BOTH resident
+        # tiers to streaming) but above its streamed node-side ~0.4 MB
         monkeypatch.setattr(pt, "_TRI_VMEM_BUDGET", 768 * 1024)
+        monkeypatch.setattr(pt, "_TRI_TPOSE_BUDGET", 64 * 1024)
         tracer = PallasTracer(sd.scene)
         assert tracer.bake.tri_stream
         p = np.asarray(tracer(None, o, d, tm, KEY, max_depth=1))
@@ -159,6 +161,9 @@ class TestMeshWalk:
         o, d, tm = _rays_for(sd)
         r = np.asarray(trace(sd.scene, o, d, tm, KEY, max_depth=1))
         monkeypatch.setattr(pt, "_TRI_VMEM_BUDGET", 256 * 1024)
+        # the tier is gated off by default (Mosaic dynamic-lane reads);
+        # force it on to keep the interpret-mode math covered
+        monkeypatch.setattr(pt, "_TRI_TPOSE_ENABLED", True)
         tracer = PallasTracer(sd.scene)
         assert tracer.bake.tri_mode == "tpose"
         p = np.asarray(tracer(None, o, d, tm, KEY, max_depth=1))

@@ -92,10 +92,12 @@ def test_differentiable_chunk_on_tpu(tpu):
 
 
 def test_100k_tri_walk_matches_xla(tpu):
-    """Config-5 scale on the real chip: the transposed split-precision
-    resident path at its actual 100,352-triangle size (the CPU tier only
-    exercises the 2,165-tri door mesh with a lowered threshold) against the
-    XLA BVH walk."""
+    """Config-5 scale on the real chip: the default big-mesh kernel path at
+    its actual 100,352-triangle size (the CPU tier only exercises the
+    2,165-tri door mesh with a lowered threshold) against the XLA BVH walk.
+    Row-major 51 MB can't fit VMEM, so the bake must pick the streamed-leaf
+    DMA mode (the transposed-resident tier is gated off until its
+    dynamic-lane reads lower in Mosaic — _TRI_TPOSE_ENABLED)."""
     import jax
 
     from raytracing_gpu_tpu.engine.intersect import closest_hit
@@ -106,8 +108,7 @@ def test_100k_tri_walk_matches_xla(tpu):
     ntri = np.asarray(sd.scene.triangles.v0).shape[0]
     assert ntri == 100352
     tracer = pt.PallasTracer(sd.scene)
-    # row-major 51 MB can't fit VMEM, but the 12.8 MB transposed layout does
-    assert tracer.bake.tri_mode == "tpose"
+    assert tracer.bake.tri_mode == "stream"
     o, d, tm = _rays(sd, 8192, 3)
     k = jax.random.PRNGKey(9)
     planes = tracer.walk_packed(o, d, tm, k, max_depth=4)
@@ -164,9 +165,18 @@ def test_fused_diff_chunk_on_tpu(tpu):
     key = jax.random.PRNGKey(3)
     params = diff.get_params(sd.scene)
     ref = compile_param_renderer(sd.scene, sd.camera, st)
+    # gen_rays=False shares compile_param_renderer's exact key schedule, so
+    # the primal must BIT-match the two-phase path on the same chip
+    fus_bits = compile_fused_param_renderer(sd.scene, sd.camera, st,
+                                            gen_rays=False)
+    a = np.asarray(ref(params, key))
+    np.testing.assert_array_equal(a, np.asarray(fus_bits(params, key)))
+    # the default TPU path (in-kernel camera rays) draws the SAME sampling
+    # distribution from a different RNG stream (fused_diff docstring): check
+    # mean radiance agreement at MC-noise level, not per-sample equality
     fus = compile_fused_param_renderer(sd.scene, sd.camera, st)
-    a, b = np.asarray(ref(params, key)), np.asarray(fus(params, key))
-    np.testing.assert_array_equal(a, b)
+    b = np.asarray(fus(params, key))
+    assert abs(a.mean() - b.mean()) < 0.05 * max(a.mean(), 1e-6)
     g = jax.jit(jax.grad(lambda p: fus(p, key).mean()))(params)
     for name, grad in g.items():
         assert np.all(np.isfinite(np.asarray(grad))), name

@@ -214,31 +214,37 @@ def main() -> None:
     run = {int(c) for c in args.configs.split(",") if c}
 
     results = []
-    if 1 in run:
-        results.append(bench_forward("first", 400, 16 / 9, 16, 8, args.spp_scale))
-        print(json.dumps(results[-1]), flush=True)
-    if 2 in run:
-        results.append(bench_forward("big_scene1", 800, 16 / 9, 32, 16,
-                                     args.spp_scale))
-        print(json.dumps(results[-1]), flush=True)
-    if 3 in run:
-        results.append(bench_fwd_bwd(args.spp_scale))
-        print(json.dumps(results[-1]), flush=True)
-    if 4 in run:
-        results.append(bench_forward("cornell_smoke", 512, 1.0, 128, 16,
-                                     args.spp_scale))
-        print(json.dumps(results[-1]), flush=True)
-    if 5 in run:
-        results.append(bench_forward("backpack", 800, 4 / 3, 256, 16,
-                                     args.spp_scale))
-        print(json.dumps(results[-1]), flush=True)
-    if args.earth_grad:
-        results.append(bench_earth_grad(args.spp_scale))
-        print(json.dumps(results[-1]), flush=True)
-    if args.scaling:
-        for row in bench_scaling():
+
+    def record(tag, thunk):
+        # one failed workload must not lose the others' numbers
+        try:
+            out = thunk()
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            out = dict(config=tag, error=f"{type(e).__name__}: {e}"[:500])
+        rows = out if isinstance(out, list) else [out]
+        for row in rows:
+            row.setdefault("config", tag)
             results.append(row)
             print(json.dumps(row), flush=True)
+
+    if 1 in run:
+        record(1, lambda: bench_forward("first", 400, 16 / 9, 16, 8,
+                                        args.spp_scale))
+    if 2 in run:
+        record(2, lambda: bench_forward("big_scene1", 800, 16 / 9, 32, 16,
+                                        args.spp_scale))
+    if 3 in run:
+        record(3, lambda: bench_fwd_bwd(args.spp_scale))
+    if 4 in run:
+        record(4, lambda: bench_forward("cornell_smoke", 512, 1.0, 128, 16,
+                                        args.spp_scale))
+    if 5 in run:
+        record(5, lambda: bench_forward("backpack", 800, 4 / 3, 256, 16,
+                                        args.spp_scale))
+    if args.earth_grad:
+        record("earth-grad", lambda: bench_earth_grad(args.spp_scale))
+    if args.scaling:
+        record("scaling", bench_scaling)
 
     if args.json_out:
         with open(args.json_out, "w") as f:

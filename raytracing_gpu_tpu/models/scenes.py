@@ -214,7 +214,7 @@ def triangles_scene(**kw) -> SceneDef:
 
 
 def _add_obj(b: SceneBuilder, path: str, fallback: str, scale: float = 1.0,
-             standin_res=(224, 224)) -> None:
+             standin_res=(224, 224), standin_scale: float = 1.0) -> None:
     """Load an OBJ into the builder, one lambertian + image texture per submesh
     (the reference's one-diffuse-texture-per-mesh pipeline,
     `triangle_mesh.h:147-204`).  When the OBJ itself is unavailable (large
@@ -238,8 +238,25 @@ def _add_obj(b: SceneBuilder, path: str, fallback: str, scale: float = 1.0,
                    normals=sub.normals, scale=scale)
     else:
         warnings.warn(f"{path} missing (stripped asset); using procedural stand-in")
-        tex = b.image(fallback) if os.path.exists(fallback) else b.solid((0.8, 0.2, 0.2))
+        if os.path.exists(fallback):
+            from ..io.images import load_image
+
+            img = load_image(fallback)
+            # cap the stand-in's texture at 1024 on a side: cup's 4096^2
+            # diffuse map decodes to a ~201 MB f32 atlas, which busts the
+            # remote-compile payload when baked as an XLA constant; the
+            # stand-in geometry is synthetic anyway, so a 1k map keeps the
+            # image-texture path exercised at 1/16 the constant weight
+            step = max(1, (max(img.shape[:2]) + 1023) // 1024)
+            tex = b.image(img[::step, ::step])
+        else:
+            tex = b.solid((0.8, 0.2, 0.2))
         v, f, uvs, n = _uv_sphere(*standin_res)
+        # size the stand-in to the scene's camera framing (the real assets
+        # were modeled at the scale the reference cameras expect) and rest
+        # it on the y=0 ground plane instead of half-burying it
+        v = v * standin_scale
+        v[:, 1] += standin_scale
         b.mesh(v, f, b.lambertian(tex), uvs=uvs, normals=n, scale=scale)
 
 
@@ -281,7 +298,8 @@ def backpack_scene(**kw) -> SceneDef:
     the intended mesh + ground."""
     b = SceneBuilder(background=SKY)
     _add_obj(b, os.path.join(REFERENCE_ROOT, "assets", "backpack", "backpack.obj"),
-             os.path.join(REFERENCE_ROOT, "assets", "backpack", "diffuse.jpg"))
+             os.path.join(REFERENCE_ROOT, "assets", "backpack", "diffuse.jpg"),
+             standin_scale=0.45)
     b.sphere((0, -100, -1), 100, b.lambertian((0, 1, 0)))
     return SceneDef(b.build(**kw), _cam((0, 0, -3), (0, 0, 0), 20, 16 / 9), 16 / 9)
 
@@ -292,6 +310,7 @@ def cup_scene(**kw) -> SceneDef:
     b = SceneBuilder(background=SKY)
     _add_obj(b, os.path.join(REFERENCE_ROOT, "assets", "cup", "cup.obj"),
              os.path.join(REFERENCE_ROOT, "assets", "cup",
-                          "MaryRoseTankard_100kMesh.jpg"))
+                          "MaryRoseTankard_100kMesh.jpg"),
+             standin_scale=0.12)
     b.sphere((0, -100, -1), 100, b.lambertian((0, 1, 0)))
     return SceneDef(b.build(**kw), _cam((0, 0, -1), (0, 0, 0), 20, 16 / 9), 16 / 9)

@@ -214,6 +214,7 @@ def main() -> None:
     run = {int(c) for c in args.configs.split(",") if c}
 
     results = []
+    failed = []
 
     def record(tag, thunk):
         # one failed workload must not lose the others' numbers
@@ -221,6 +222,7 @@ def main() -> None:
             out = thunk()
         except Exception as e:  # noqa: BLE001 — recorded, not swallowed
             out = dict(config=tag, error=f"{type(e).__name__}: {e}"[:500])
+            failed.append(tag)
         rows = out if isinstance(out, list) else [out]
         for row in rows:
             row.setdefault("config", tag)
@@ -252,6 +254,13 @@ def main() -> None:
                            device=str(jax.devices()[0]),
                            spp_scale=args.spp_scale, results=results), f,
                       indent=1)
+    if failed:
+        # error rows are in the JSON; still signal failure to shell callers
+        import sys
+
+        print(f"bench_all: {len(failed)} workload(s) errored: {failed}",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

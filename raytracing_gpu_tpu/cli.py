@@ -161,13 +161,16 @@ def main(argv=None) -> int:
         profile_cm = jax.profiler.trace(args.profile_dir)
         profile_cm.__enter__()
 
+    from .utils.profiling import PhaseTimer
+
+    timer = PhaseTimer()
     t0 = time.perf_counter()
     # every process renders its shards; only the coordinator persists
     # checkpoints and encodes the image (SURVEY §5 distributed plan)
     linear = render_linear(sd.scene, sd.camera, st, seed=args.seed,
                            checkpoint_dir=args.checkpoint_dir if is_coord else None,
                            progress=progress if is_coord else None,
-                           chunk_fn=chunk_fn)
+                           chunk_fn=chunk_fn, timer=timer)
     elapsed = time.perf_counter() - t0
 
     if profile_cm is not None:
@@ -187,6 +190,8 @@ def main(argv=None) -> int:
               f"{st.rays_per_pixel}spp in {elapsed:.1f}s "
               f"({total_rays / elapsed / 1e6:.2f} Mrays/s) -> {args.output}",
               file=sys.stderr)
+        # per-phase split (build/trace/io; SURVEY §5 observability)
+        print(timer.report(), file=sys.stderr)
     return 0
 
 

@@ -108,6 +108,7 @@ def _shade_chain_bwd(scene0: Scene, params, planes, g, need_p: bool,
 def compile_fused_param_renderer(
     scene: Scene, camera: Camera, settings: RenderSettings,
     save_planes: bool | None = None, gen_rays: bool | None = None,
+    mesh=None,
 ) -> Callable[[dict, Array], Array]:
     """Differentiable chunk renderer (params, key) -> (npix_pad, 3) sums with
     a hand-written custom VJP.
@@ -127,6 +128,15 @@ def compile_fused_param_renderer(
     is identical but the RNG stream differs, so the primal no longer
     bit-matches compile_param_renderer (use gen_rays=False for that).
     Default: on when the backend is TPU.
+
+    mesh: an (sp, dp) `parallel.mesh.make_mesh` mesh — the whole fused
+    walk+adjoint then runs INSIDE shard_map (each device owns an spp slice x
+    pixel slice; radiance psum over sp rides ICI, parameter cotangents psum
+    over the whole mesh via the shard_map transpose of the replicated params
+    input).  Wave keys/seeds fold by GLOBAL sample/wave index, so the sharded
+    render is numerically identical to the single-device fused renderer up
+    to float summation order (asserted in tests/test_parallel.py).  The
+    output is dp-sharded (npix_pad rows, padded to b * n_dp).
     """
     from ..ops import pallas_trace
 
@@ -134,6 +144,9 @@ def compile_fused_param_renderer(
         raise ValueError("scene not supported by the pallas walk kernel")
     if gen_rays is None:
         gen_rays = jax.default_backend() == "tpu"
+    if mesh is not None:
+        return _compile_sharded_fused(scene, camera, settings, mesh,
+                                      save_planes, gen_rays)
     tracer = pallas_trace.PallasTracer(scene)
     need_p, need_uv = tracer.need_p, tracer.need_uv
     h, w, npix, npix_pad, b, nb = _grid_geometry(settings)
@@ -253,5 +266,173 @@ def compile_fused_param_renderer(
         keyf = jax.lax.bitcast_convert_type(
             jax.random.key_data(key), jnp.float32)
         return chunk_cvjp(params, keyf)
+
+    return chunk
+
+
+def _compile_sharded_fused(scene: Scene, camera: Camera,
+                           settings: RenderSettings, mesh,
+                           save_planes, gen_rays):
+    """shard_map form of the fused renderer: (params, key) -> dp-sharded
+    (npix_pad, 3) sums, differentiable at kernel speed on every chip.
+
+    The multi-chip counterpart of the hand-VJP chunk above (VERDICT r3 #3):
+    the custom_vjp sits INSIDE the shard_map region, so the backward pass on
+    each device is the same closed-form adjoint over its local waves; the
+    shard_map transpose of the replicated `params` input inserts the
+    parameter-cotangent psum over the mesh (the same mechanism the generic
+    sharded AD path uses, `parallel/render.py`), and the forward radiance
+    psum over sp is the reference frame-buffer ensemble turned collective
+    (`render.h:152-162`).
+    """
+    from functools import partial as _partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_trace
+    from ..parallel.mesh import DP_AXIS, SP_AXIS
+
+    tracer = pallas_trace.PallasTracer(scene)
+    need_p, need_uv = tracer.need_p, tracer.need_uv
+    h, w = settings.image_height, settings.image_width
+    npix = h * w
+    spp = settings.spp_per_chunk
+    max_depth, t_min = settings.max_depth, settings.t_min
+    n_sp = mesh.shape[SP_AXIS]
+    n_dp = mesh.shape[DP_AXIS]
+    if spp % n_sp:
+        raise ValueError(f"spp_per_chunk={spp} not divisible by sp={n_sp}")
+    spp_local = spp // n_sp
+
+    def ceil_to(n, m):
+        return ((n + m - 1) // m) * m
+
+    b = min(settings.ray_batch, ceil_to(npix, 8))
+    npix_pad = ceil_to(npix, b * n_dp)
+    local_npix = npix_pad // n_dp
+    nb_local = local_npix // b
+    inv_w = 1.0 / max(w - 1, 1)
+    inv_h = 1.0 / max(h - 1, 1)
+
+    n_planes = 1 + (3 if need_p else 0) + (2 if need_uv else 0)
+    plane_bytes = spp_local * nb_local * max_depth * b * 4 * n_planes
+    if save_planes is None:
+        save_planes = plane_bytes <= (1 << 30)
+
+    def _key_and_base(keyf):
+        key = jax.random.wrap_key_data(
+            jax.lax.bitcast_convert_type(keyf, jnp.uint32))
+        return key, pallas_trace.chunk_seed(key)
+
+    def walk(key, base, s_g, bid_g):
+        """One wave's record planes by GLOBAL sample/wave index — the exact
+        single-device schedule, so sharded == unsharded numerically."""
+        if gen_rays:
+            seed = pallas_trace.wave_seed(base, s_g, bid_g)
+            planes = tracer.walk_packed_pixels(
+                camera, h, w, bid_g * b, b, seed, max_depth=max_depth,
+                t_min=t_min)
+            return tuple(p.reshape(max_depth, -1)[:, :b] for p in planes)
+        ks = rng.fold(key, s_g)
+        kb = rng.fold(ks, bid_g)
+        k_jit, k_cam, k_trace = jax.random.split(kb, 3)
+        jit2 = rng.uniform(k_jit, (b, 2))
+        flat = bid_g * b + jnp.arange(b, dtype=jnp.int32)
+        r = jnp.minimum(flat // w, h - 1)
+        c = jnp.minimum(flat % w, w - 1)
+        u = (c.astype(jnp.float32) + jit2[:, 0]) * inv_w
+        v = ((h - 1 - r).astype(jnp.float32) + jit2[:, 1]) * inv_h
+        o, d, tm = camera.get_rays(k_cam, u, v)
+        return tracer.walk_packed(o, d, tm, k_trace, max_depth=max_depth,
+                                  t_min=t_min)
+
+    def local_indices():
+        sp = jax.lax.axis_index(SP_AXIS)
+        dp = jax.lax.axis_index(DP_AXIS)
+        s_l = jnp.repeat(jnp.arange(spp_local, dtype=jnp.int32), nb_local)
+        b_l = jnp.tile(jnp.arange(nb_local, dtype=jnp.int32), spp_local)
+        return sp * spp_local + s_l, dp * nb_local + b_l
+
+    @jax.custom_vjp
+    def chunk_cvjp(params, keyf):
+        key, base = _key_and_base(keyf)
+        scene_p = diff.set_params(scene, params)
+        s_idx, b_idx = local_indices()
+
+        def one(x):
+            s_g, bid_g = x
+            planes = walk(key, base, s_g, bid_g)
+            return shade_packed(scene_p, *planes, need_p=need_p,
+                                need_uv=need_uv)
+
+        rads = jax.lax.map(one, (s_idx, b_idx))
+        out = rads.reshape(spp_local, nb_local, b, 3).sum(0)
+        return jax.lax.psum(out.reshape(local_npix, 3), SP_AXIS)
+
+    def chunk_fwd(params, keyf):
+        if not save_planes:
+            return chunk_cvjp(params, keyf), (params, keyf, None)
+        key, base = _key_and_base(keyf)
+        scene_p = diff.set_params(scene, params)
+        s_idx, b_idx = local_indices()
+
+        def one(x):
+            s_g, bid_g = x
+            planes = walk(key, base, s_g, bid_g)
+            rad = shade_packed(scene_p, *planes, need_p=need_p,
+                               need_uv=need_uv)
+            return rad, planes
+
+        rads, planes_all = jax.lax.map(one, (s_idx, b_idx))
+        out = rads.reshape(spp_local, nb_local, b, 3).sum(0)
+        out = jax.lax.psum(out.reshape(local_npix, 3), SP_AXIS)
+        return out, (params, keyf, planes_all)
+
+    def chunk_bwd(res, g):
+        # The region output is sp-replicated but declared P(DP): shard_map's
+        # transpose SPLITS the true cotangent across the unmentioned sp axis
+        # (sum-preserving, measured 1/n_sp per device).  The primal ends in
+        # psum(·, sp), whose transpose is itself a psum — recover the full
+        # cotangent here, exactly as the primitive transpose would.  Each
+        # device then runs the closed-form adjoint over its own local waves
+        # and the shard_map transpose of the replicated params input psums
+        # d_params mesh-wide.
+        params, keyf, planes_all = res
+        g = jax.lax.psum(g, SP_AXIS)
+        key, base = _key_and_base(keyf)
+        s_idx, b_idx = local_indices()
+        g_waves = g.reshape(nb_local, b, 3)
+
+        def one(acc, x):
+            if planes_all is None:
+                s_g, bid_g = x
+                planes = walk(key, base, s_g, bid_g)
+                bid_l = bid_g - jax.lax.axis_index(DP_AXIS) * nb_local
+            else:
+                bid_l, planes = x[0], x[1:]
+            d_p = _shade_chain_bwd(scene, params, planes, g_waves[bid_l],
+                                   need_p, need_uv)
+            return jax.tree.map(jnp.add, acc, d_p), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        xs = ((s_idx, b_idx) if planes_all is None
+              else (jnp.tile(jnp.arange(nb_local, dtype=jnp.int32),
+                             spp_local),) + tuple(planes_all))
+        d_params, _ = jax.lax.scan(one, zeros, xs)
+        return d_params, jnp.zeros_like(keyf)
+
+    chunk_cvjp.defvjp(chunk_fwd, chunk_bwd)
+
+    sharded = _partial(
+        shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(DP_AXIS),
+        check_rep=False,
+    )(lambda params, keyf: chunk_cvjp(params, keyf))
+
+    @jax.jit
+    def chunk(params, key):
+        keyf = jax.lax.bitcast_convert_type(
+            jax.random.key_data(key), jnp.float32)
+        return sharded(params, keyf)
 
     return chunk

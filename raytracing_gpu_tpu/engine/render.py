@@ -110,6 +110,17 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
 
         # "auto" only picks pallas on real TPU (interpret mode is for tests)
         on = jax.default_backend() == "tpu" or engine == "pallas"
+        if on and pallas_trace.supports_scene(scene):
+            tracer = pallas_trace.PallasTracer(scene)
+            if tracer.bake.tri_stream:
+                # 100k-triangle class: bounce-synchronous sorted wavefront
+                # (per-bounce ray reordering keeps the packet walk coherent;
+                # the full-depth megakernel diverges to the whole tree —
+                # docs/PERF.md round-3 measurement)
+                from .wavefront import compile_wavefront_renderer
+
+                return compile_wavefront_renderer(scene, camera, settings,
+                                                  tracer=tracer)
         if on and pallas_trace.supports_forward(scene):
             # fully in-kernel chunk: camera rays are generated inside the
             # megakernel from the wave's base pixel index (XLA-side ray
@@ -224,6 +235,7 @@ def render_linear(
     checkpoint_dir: Optional[str] = None,
     progress: Optional[Callable[[int, int, float], None]] = None,
     chunk_fn=None,
+    timer=None,
 ) -> np.ndarray:
     """Full render -> (H, W, 3) mean linear radiance.
 
@@ -231,7 +243,15 @@ def render_linear(
     and the checkpoint grain: with `checkpoint_dir`, float32 partial sums and
     the completed-chunk count are persisted after every chunk and the render
     resumes exactly where it stopped.
+
+    timer: optional `utils.profiling.PhaseTimer`; collects the per-phase
+    build (scene bake + compile) / trace (chunk dispatch + fetch) / io
+    (checkpoint persist) split — the SURVEY §5 observability gauges replacing
+    the reference's aggregate wall clock (`main.cu:39-45`).
     """
+    from contextlib import nullcontext
+
+    phase = timer.phase if timer is not None else (lambda _name: nullcontext())
     h, w, npix, npix_pad, _, _ = _grid_geometry(settings)
     key = jax.random.PRNGKey(settings.seed if seed is None else seed)
 
@@ -248,18 +268,21 @@ def render_linear(
             sums, start_chunk = state
 
     if chunk_fn is None:
-        compiled = compile_renderer(scene, camera, settings)
+        with phase("build"):
+            compiled = compile_renderer(scene, camera, settings)
         chunk = lambda _s, _c, _st, k: compiled(k)
     else:
         chunk = chunk_fn
     for c in range(start_chunk, settings.num_chunks):
         t0 = time.perf_counter()
         ck = rng.fold(key, 0x5EED + c)
-        out = chunk(scene, camera, settings, ck)
-        sums += np.asarray(jax.block_until_ready(out))
+        with phase("trace"):
+            out = chunk(scene, camera, settings, ck)
+            sums += np.asarray(jax.block_until_ready(out))
         dt = time.perf_counter() - t0
         if checkpoint_dir is not None:
-            ckpt.save(checkpoint_dir, sums, c + 1, fp=fp)
+            with phase("io"):
+                ckpt.save(checkpoint_dir, sums, c + 1, fp=fp)
         if progress is not None:
             progress(c + 1, settings.num_chunks, dt)
 

@@ -59,6 +59,7 @@ from ..scene import types as st
 
 BIG = 1e30
 SUB = 64          # sublane rows per tile -> tile = (64, 128) = 8192 rays
+STEP_SUB = 8      # step-mode packet: (8, 128) = 1024 rays = one native vreg
 LANES = 128
 TILE = SUB * LANES
 _EPS = 1e-12
@@ -89,8 +90,7 @@ class SceneBake(NamedTuple):
     tri_links: np.ndarray     # (M, 2) int32 threaded (hit, miss) links
     tri_start: np.ndarray     # (M, 1) int32 leaf start row (-1 = internal)
     tri_leaf_k: int
-    tri_mode: str             # "resident" | "tpose" | "stream" (see
-    #                           _bake_triangles for the decision chain)
+    tri_mode: str             # "resident" | "stream" (see _bake_triangles)
     background: tuple
     sky: bool
     digest: str            # content hash — the jit static-arg identity
@@ -109,36 +109,18 @@ _TRI_C1, _TRI_C2, _TRI_SCALE, _TRI_TEXK = 28, 31, 34, 35
 _TRI_COLS = 40
 
 # Mosaic pads a VMEM-resident (N, C) table's minor dim to 128 lanes, so a
-# table costs N*512 bytes of VMEM regardless of C — and the THREE node-side
-# arrays (nodes/links/start) are whole-array VMEM-resident too, in both
-# resident and streamed mode.  The resident-vs-streamed decision is therefore
-# made from the TOTAL footprint (table + 3 node arrays), not a row count:
-# at leaf_k=4 a 16k-tri mesh costs ~8 MB table + ~12.6 MB nodes, well past
-# the ~16 MB/core VMEM.  Budget leaves headroom for ray tiles + scratch.
+# table costs N*512 bytes of VMEM regardless of C.  The triangle BVH's node
+# data (bounds + threaded links + leaf start) is FUSED into one (M, 9) f32
+# array — links/starts stored as exactly-representable floats — so a node
+# costs 512 B instead of the 1536 B three separate row-major arrays would
+# (round-3's 64-candidate streamed leaves existed only to keep the node side
+# under budget; fusing the arrays buys leaf_k=16 at the same VMEM).  The
+# resident-vs-streamed decision is made from the TOTAL footprint (table +
+# fused node array), not a row count.  Budget leaves headroom for ray tiles
+# + scratch.
 _TRI_VMEM_BUDGET = 8 * 2**20
 _TRI_LEAF_K = 4         # resident-table leaf size (unchanged from round 1)
-_TRI_STREAM_LEAF_K = 64  # streamed leaf size: fewer/fatter leaves -> fewer
-                         # DMAs and a small node table (100k tris -> ~3k nodes)
-# TRANSPOSED resident mode ("tpose"): meshes too big for the row-major
-# resident table but small enough that a column-major split-precision layout
-# fits VMEM.  Row-major lane-pads every 40-column row to 128 lanes (512 B/row
-# -> 51 MB at 100k tris); transposing stores each COLUMN as a vector row, so
-# the table costs its true size: geometry (v0,e1,e2) stays f32
-# ((9->16 sublanes, T) = 64T bytes) and the 31 shading/normal/uv columns drop
-# to bf16 ((31->32, T) = 64T bytes) — 12.8 MB at 100k tris, zero DMA in the
-# walk (v5e-measured: the per-leaf DMA latency dominated the streamed walk).
-# bf16 attrs: colors/fuzz/scale quantize at ~0.4% (invisible at MC noise
-# levels); mat/kind/texk ids are exact below 256 (asserted at bake).
-_TRI_TPOSE_LEAF_K = 32   # no DMA per leaf -> smaller leaves cull better
-_TRI_TPOSE_BUDGET = 14 * 2**20
-# GATED OFF by default: Mosaic cannot lower the transposed layout's
-# dynamic-LANE scalar reads ("cannot statically prove that index in
-# dimension 1 is a multiple of 128" on a real v5e) — row-major walks index
-# dynamically on the SUBLANE dim, which is supported.  The mode is kept
-# (correct under interpret, tested in test_pallas_trace.py) until the
-# aligned-leaf vector-load rewrite lands; big meshes use the TPU-proven
-# streamed-leaf DMA path meanwhile.
-_TRI_TPOSE_ENABLED = False
+_TRI_STREAM_LEAF_K = 16  # streamed leaf size: one DMA per visited leaf
 _SPH_BVH_MIN = 64        # dense sphere loop below this many rows
 _SPH_LEAF_K = 8
 
@@ -328,7 +310,7 @@ def bake_scene(scene: st.Scene) -> SceneBake:
                      digest=h.hexdigest())
 
 
-def _leaf_contiguous(rows: np.ndarray, bvh, leaf_k: int, tight: bool = False):
+def _leaf_contiguous(rows: np.ndarray, bvh, leaf_k: int):
     """Reorder primitive rows so each BVH leaf owns a fixed contiguous slot.
 
     Returns (table, nodes, links, start) where table row `start[i] + k` is
@@ -342,34 +324,15 @@ def _leaf_contiguous(rows: np.ndarray, bvh, leaf_k: int, tight: bool = False):
     assert lp.shape[1] <= leaf_k
     start = np.full((m, 1), -1, np.int32)
     leaf_nodes = np.nonzero(lp[:, 0] >= 0)[0]
-    if tight:
-        # TIGHT layout (tpose mode): leaves own [start, start+count) with NO
-        # pad rows; the kernel's static leaf_k-iteration loop may overrun
-        # into the next leaf's rows, which is CORRECT — candidate tests are
-        # idempotent min-updates over real triangles (an overrun tri tested
-        # under this leaf's box_mask can only add a legitimate hit; any hit
-        # it would contribute is also found when its own leaf is visited).
-        # Only the table END needs leaf_k all-zero rows (auto-fail: e1=e2=0
-        # => |det| <= 1e-7).  Saves the ~30-44% leaf-pad VMEM that decides
-        # whether a 100k-tri mesh fits on-chip.
-        sel = lp[leaf_nodes]
-        counts = (sel >= 0).sum(axis=1).astype(np.int32)
-        offs = np.zeros(len(leaf_nodes), np.int32)
-        offs[1:] = np.cumsum(counts)[:-1].astype(np.int32)
-        start[leaf_nodes, 0] = offs
-        table = np.concatenate(
-            [rows[sel[sel >= 0]],
-             np.zeros((leaf_k, rows.shape[1]), rows.dtype)], axis=0)
-    else:
-        start[leaf_nodes, 0] = (np.arange(len(leaf_nodes), dtype=np.int32)
-                                * leaf_k)
-        flat = np.full((len(leaf_nodes), leaf_k), -1, np.int64)
-        flat[:, : lp.shape[1]] = lp[leaf_nodes]
-        flat = flat.reshape(-1)
-        rows_pad = np.concatenate(
-            [rows, np.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
-        src = np.where(flat >= 0, flat, rows.shape[0])
-        table = rows_pad[src]
+    start[leaf_nodes, 0] = (np.arange(len(leaf_nodes), dtype=np.int32)
+                            * leaf_k)
+    flat = np.full((len(leaf_nodes), leaf_k), -1, np.int64)
+    flat[:, : lp.shape[1]] = lp[leaf_nodes]
+    flat = flat.reshape(-1)
+    rows_pad = np.concatenate(
+        [rows, np.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
+    src = np.where(flat >= 0, flat, rows.shape[0])
+    table = rows_pad[src]
     nodes = np.concatenate([np.asarray(bvh.node_min, np.float32),
                             np.asarray(bvh.node_max, np.float32)], axis=1)
     links = np.stack([np.asarray(bvh.hit_link, np.int32),
@@ -450,8 +413,7 @@ def _bake_triangles(scene):
     from ..utils.profiling import logger
 
     # Decision chain: row-major resident (leaf_k=4, cheapest candidate
-    # count) -> [transposed resident, gated off: see _TRI_TPOSE_ENABLED]
-    # -> HBM streaming.
+    # count) -> HBM streaming (fused node array resident, leaves DMA'd).
     fits_resident = len(keep) * 512 <= _TRI_VMEM_BUDGET
     if fits_resident:
         bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=_TRI_LEAF_K)
@@ -460,48 +422,31 @@ def _bake_triangles(scene):
         if _tri_vmem_bytes(len(table), len(nodes),
                            "resident") <= _TRI_VMEM_BUDGET:
             return table, nodes, links, start, _TRI_LEAF_K, "resident"
-    if _TRI_TPOSE_ENABLED:
-        bvh = bvh_mod.build(bmin[keep], bmax[keep],
-                            leaf_size=_TRI_TPOSE_LEAF_K)
-        table, nodes, links, start = _leaf_contiguous(rows[keep], bvh,
-                                                      _TRI_TPOSE_LEAF_K,
-                                                      tight=True)
-        tb = _tri_vmem_bytes(len(table), len(nodes), "tpose")
-    else:
-        tb = _TRI_TPOSE_BUDGET + 1
-    if tb <= _TRI_TPOSE_BUDGET:
-        # bf16 holds integers exactly below 256 — the id columns must fit
-        assert rows[:, [_TRI_KIND, _TRI_MAT, _TRI_TEXK]].max() < 256, \
-            "tpose mode stores id columns in bf16; ids must be < 256"
-        logger.debug("tri bake: %d tris transposed-resident, %d nodes, "
-                     "%.1f MB VMEM", len(keep), len(nodes), tb / 2**20)
-        return table, nodes, links, start, _TRI_TPOSE_LEAF_K, "tpose"
-    bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=_TRI_STREAM_LEAF_K)
-    table, nodes, links, start = _leaf_contiguous(rows[keep], bvh,
-                                                  _TRI_STREAM_LEAF_K)
-    node_bytes = _tri_vmem_bytes(0, len(nodes), "stream")
-    assert node_bytes <= _TRI_VMEM_BUDGET, (
-        f"streamed-mode node arrays need {node_bytes / 2**20:.1f} MB VMEM "
-        f"(> {_TRI_VMEM_BUDGET / 2**20:.0f} MB budget); raise "
-        f"_TRI_STREAM_LEAF_K for meshes this large")
-    logger.debug("tri bake: %d tris streamed, %d nodes, %.1f MB VMEM node-side",
-                 len(keep), len(nodes), node_bytes / 2**20)
-    return table, nodes, links, start, _TRI_STREAM_LEAF_K, "stream"
+    # streamed: smallest leaf whose fused node array fits the VMEM budget
+    # (fewer candidates per visited leaf beats fewer DMAs — the sorted
+    # wavefront keeps visit counts low)
+    leaf_k = _TRI_STREAM_LEAF_K
+    while True:
+        bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=leaf_k)
+        table, nodes, links, start = _leaf_contiguous(rows[keep], bvh, leaf_k)
+        node_bytes = _tri_vmem_bytes(0, len(nodes), "stream")
+        if node_bytes <= _TRI_VMEM_BUDGET or leaf_k >= 1024:
+            break
+        leaf_k *= 2
+    logger.debug("tri bake: %d tris streamed, %d nodes, leaf_k=%d, "
+                 "%.1f MB VMEM node-side",
+                 len(keep), len(nodes), leaf_k, node_bytes / 2**20)
+    return table, nodes, links, start, leaf_k, "stream"
 
 
 def _tri_vmem_bytes(n_table_rows: int, n_nodes: int, mode: str) -> int:
     """Estimated VMEM cost of the kernel's triangle-side arrays.
 
-    resident/stream: every row of every row-major array lane-pads to 128
-    lanes (512 B); nodes/links/start are three arrays; streamed mode holds
-    the leaf scratch block instead of the table.
-    tpose: table = f32 geometry (9->16 sublanes, T) + bf16 attrs
-    (31->32, T) = 128 B/tri; each transposed node array sublane-pads to
-    (8, M) = 32 B/node."""
-    if mode == "tpose":
-        return n_table_rows * 128 + 3 * n_nodes * 32
+    Every row-major row lane-pads to 128 lanes (512 B); nodes/links/start
+    fuse into ONE (M, 9) f32 array (512 B/node); streamed mode holds the
+    leaf scratch block instead of the table."""
     scratch = _TRI_STREAM_LEAF_K * 512 if mode == "stream" else 0
-    return (n_table_rows + 3 * n_nodes) * 512 + scratch
+    return (n_table_rows + n_nodes) * 512 + scratch
 
 
 # --------------------------------------------------------------------------
@@ -672,7 +617,8 @@ def _deferred_albedo(tex_kinds, texk, scale, c1r, c1g, c1b, c2r, c2g, c2b,
 def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                  record: bool = False, need_p: bool = True,
                  need_uv: bool = False, shade: bool | None = None,
-                 cam: tuple | None = None, rr_start: int = 0):
+                 cam: tuple | None = None, rr_start: int = 0,
+                 step: bool = False, sub: int = SUB):
     """Build the kernel function with the scene baked in.
 
     record=False: radiance outputs (forward rendering).
@@ -696,11 +642,19 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 
     Triangles traverse a threaded flat BVH in PACKET form — the TPU-native
     answer to per-ray pointer chasing (reference `bvh.h:348-436`): the whole
-    (SUB, 128) ray tile walks with ONE scalar node cursor; node bounds are
+    (sub, 128) ray tile walks with ONE scalar node cursor; node bounds are
     scalar VMEM reads, the slab test is vector math over the tile, and a
     `jnp.any` reduction decides descend-vs-skip.  Coherent tiles visit only
     the subtree their rays touch; there are no vector gathers (Mosaic has
     none).
+
+    step=True: ONE bounce only (record semantics with max_depth=1), plus an
+    ALIVE input plane after the ray planes and six scattered-ray output
+    planes after the record planes.  An all-dead tile skips the entire walk
+    (one vector any() + pass-through stores) — with the driver sorting dead
+    rays last (engine/wavefront.py), terminated rays cost ~nothing.  `sub`
+    shrinks the packet (default 8 rows = 1024 rays in step mode): smaller
+    packets keep the walked subtree union tight under sorted-coherent rays.
     """
     if shade is None:
         shade = not record
@@ -722,8 +676,7 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
     tri_stream = tri_mode == "stream"
 
     def kernel(seed_ref, sph_ref, snode_ref, slink_ref, sstart_ref,
-               tri_ref, tattr_ref, tnode_ref, tlink_ref, tstart_ref,
-               *tail):
+               tri_ref, tnode_ref, *tail):
         if cam is None:
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
              tm_ref) = tail[:7]
@@ -731,6 +684,9 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
         else:
             pix_ref = tail[0]
             rest = tail[1:]
+        if step:
+            alive_ref = rest[0]
+            rest = rest[1:]
         if tri_stream:
             tri_scratch, tri_sem = rest[-2], rest[-1]
             out_refs = rest[:-2]
@@ -746,11 +702,14 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 px_ref, py_ref, pz_ref = next(it), next(it), next(it)
             if need_uv:
                 cu_ref, cv_ref = next(it), next(it)
-        shape = (SUB, LANES)
+        if step:
+            ray_out_refs = (next(it), next(it), next(it),
+                            next(it), next(it), next(it))
+        shape = (sub, LANES)
         # per-lane RNG counter base: seed mixed with the global lane id
         row_ids = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
         col_ids = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-        lane = (jnp.uint32(pl.program_id(0)) * jnp.uint32(TILE)
+        lane = (jnp.uint32(pl.program_id(0)) * jnp.uint32(sub * LANES)
                 + row_ids * jnp.uint32(LANES) + col_ids)
         rng_base = _pcg_hash(lane ^ (seed_ref[0].astype(jnp.uint32)
                                      * jnp.uint32(0x85EBCA6B)))
@@ -1110,28 +1069,6 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                                 lambda col, kk=kk: tri_scratch[kk, col],
                                 box_mask, carry)
                         return carry
-                elif tri_mode == "tpose":
-                    # transposed split-precision resident table: geometry
-                    # columns are f32 rows of tri_ref (9, Tpad); the 31
-                    # shading/normal/uv columns live as bf16 PAIRS packed
-                    # into i32 rows of tattr_ref (Mosaic only does 32-bit
-                    # scalar loads: even col = low half, odd col = high)
-                    def tri_leaf(base, box_mask, carry):
-                        for kk in range(tri_leaf_k):
-                            def read(col, kk=kk):
-                                if col < _TRI_N0:
-                                    return tri_ref[col, base + kk]
-                                c = col - _TRI_N0
-                                w = tattr_ref[c // 2, base + kk]
-                                bits = (w << 16 if c % 2 == 0
-                                        else w & jnp.int32(-65536))
-                                # tpu.bitcast is vector-only: broadcast the
-                                # scalar word, then bitcast the tile
-                                return jax.lax.bitcast_convert_type(
-                                    jnp.full(shape, bits, jnp.int32),
-                                    jnp.float32)
-                            carry = tri_candidate(read, box_mask, carry)
-                        return carry
                 else:
                     def tri_leaf(base, box_mask, carry):
                         for kk in range(tri_leaf_k):
@@ -1140,16 +1077,16 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                                 box_mask, carry)
                         return carry
 
-                if tri_mode == "tpose":
-                    carry = packet_walk(lambda n, c: tnode_ref[c, n],
-                                        lambda n, c: tlink_ref[c, n],
-                                        lambda n: tstart_ref[0, n],
-                                        tri_leaf, carry)
-                else:
-                    carry = packet_walk(lambda n, c: tnode_ref[n, c],
-                                        lambda n, c: tlink_ref[n, c],
-                                        lambda n: tstart_ref[n, 0],
-                                        tri_leaf, carry)
+                # fused node array (M, 9): bounds cols 0-5, threaded links
+                # cols 6-7 and leaf start col 8 as exactly-representable
+                # floats (node/row counts are far below 2^24) — one 512 B
+                # VMEM row per node instead of three
+                carry = packet_walk(lambda n, c: tnode_ref[n, c],
+                                    lambda n, c: tnode_ref[n, 6 + c]
+                                    .astype(jnp.int32),
+                                    lambda n: tnode_ref[n, 8]
+                                    .astype(jnp.int32),
+                                    tri_leaf, carry)
 
             (t_best, nx, ny, nz, kind, mid, c1r, c1g, c1b, c2r, c2g, c2b,
              scale, texk, fuzz, ir_v, cu, cv, sphf) = carry
@@ -1434,7 +1371,7 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
              img_h, img_w) = cam
             ri = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-            pix = (pix_ref[0] + pl.program_id(0) * TILE
+            pix = (pix_ref[0] + pl.program_id(0) * (sub * LANES)
                    + ri * LANES + ci)
             pix = jnp.minimum(pix, img_h * img_w - 1)  # pad: edge-duplicate
             # i32 //,% by the constant width via f32 reciprocal + exact
@@ -1472,6 +1409,31 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
             else:
                 tm0 = jnp.full(shape, ct0)
             rays0 = (ox0, oy0, oz0, dx0, dy0, dz0, tm0)
+
+        if step:
+            # single-bounce mode: run `bounce` once for tiles with any live
+            # lane; all-dead tiles (the sorted driver packs terminated rays
+            # last) pay one vector any() + pass-through stores.  p/uv planes
+            # are pre-zeroed because a skipped tile's phase-2 shade would
+            # otherwise read garbage VMEM through mask-multiply algebra.
+            alive0 = alive_ref[:]
+            for r in (px_ref, py_ref, pz_ref, cu_ref, cv_ref):
+                if r is not None:
+                    r[...] = jnp.zeros(r.shape, jnp.float32)
+            for r, src in zip(ray_out_refs, rays0[:6]):
+                r[:] = src
+            state = (*rays0, ones, ones, ones, zeros, zeros, zeros,
+                     jnp.where(alive0 > 0.5, ones, zeros))
+
+            @pl.when(jnp.any(alive0 > 0.5))
+            def _():
+                # static bounce index 0: the record store indexes pl.ds(0, 1)
+                # (a traced index inside the when-region fails to lower)
+                st = bounce(0, state)
+                for r, v in zip(ray_out_refs, st[:6]):
+                    r[:] = v
+            return
+
         state = (*rays0, ones, ones, ones, zeros, zeros, zeros, ones)
 
         # early exit: the whole tile stops as soon as every lane is dead
@@ -1496,23 +1458,24 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 @functools.partial(jax.jit, static_argnames=("bake_key", "max_depth", "t_min",
                                              "interpret", "record", "need_p",
                                              "need_uv", "shade", "cam", "rows",
-                                             "rr_start"))
+                                             "rr_start", "step", "sub"))
 def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
-         tri_table, tri_attr, tri_nodes, tri_links, tri_start,
+         tri_table, tri_nodes,
          ox, oy, oz, dx, dy, dz, tm,
          max_depth, t_min, interpret, record=False, need_p=True,
          need_uv=False, shade=None, cam=None, pix_base=None, rows=None,
-         rr_start=0):
+         rr_start=0, step=False, sub=SUB, alive=None):
     bake = _BAKES[bake_key]
     if rows is None:
         rows = ox.shape[0]
-    grid = (rows // SUB,)
+    grid = (rows // sub,)
     if shade is None:
         shade = not record
     kernel = _make_kernel(bake, max_depth, t_min,
                           record=record, need_p=need_p, need_uv=need_uv,
-                          shade=shade, cam=cam, rr_start=rr_start)
-    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                          shade=shade, cam=cam, rr_start=rr_start,
+                          step=step, sub=sub)
+    ray_spec = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_specs = []
     out_shape = []
@@ -1520,7 +1483,7 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
         out_specs += [ray_spec, ray_spec, ray_spec]
         out_shape += [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3
     if record:
-        rec_spec = pl.BlockSpec((max_depth, SUB, LANES), lambda i: (0, i, 0),
+        rec_spec = pl.BlockSpec((max_depth, sub, LANES), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
         rec_shape = (max_depth, rows, LANES)
         n_rec = 1 + (3 if need_p else 0) + (2 if need_uv else 0)
@@ -1529,6 +1492,9 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
             [jax.ShapeDtypeStruct(rec_shape, jnp.int32)]
             + [jax.ShapeDtypeStruct(rec_shape, jnp.float32)] * (n_rec - 1)
         )
+    if step:
+        out_specs += [ray_spec] * 6
+        out_shape += [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 6
 
     def whole(a):
         return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
@@ -1543,7 +1509,6 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
     else:
         tri_spec = whole(tri_table)
         scratch_shapes = []
-    attr_spec = whole(tri_attr)
 
     if cam is None:
         tail_specs = [ray_spec] * 7
@@ -1551,6 +1516,9 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
     else:
         tail_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # pix_base (1,)
         tail_args = (pix_base,)
+    if step:
+        tail_specs += [ray_spec]
+        tail_args += (alive,)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1558,8 +1526,7 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
             whole(sph_table), whole(sph_nodes), whole(sph_links),
             whole(sph_start),
-            tri_spec, attr_spec, whole(tri_nodes), whole(tri_links),
-            whole(tri_start),
+            tri_spec, whole(tri_nodes),
             *tail_specs,
         ],
         out_specs=out_specs,
@@ -1567,7 +1534,7 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(seed, sph_table, sph_nodes, sph_links, sph_start,
-      tri_table, tri_attr, tri_nodes, tri_links, tri_start, *tail_args)
+      tri_table, tri_nodes, *tail_args)
     return out
 
 
@@ -1588,7 +1555,9 @@ def wave_seed(base, *idx) -> jax.Array:
     far below them); the kernel's PCG hash (seed * 0x85EBCA6B ^ lane, then
     pcg) decorrelates the streams."""
     s = jnp.asarray(base, jnp.int32)
-    for m, i in zip((7919, 104729, 1299709), idx):
+    multipliers = (7919, 104729, 1299709, 15485863)
+    assert len(idx) <= len(multipliers)
+    for m, i in zip(multipliers, idx):
         s = s + jnp.asarray(i, jnp.int32) * jnp.int32(m)
     return s
 
@@ -1639,51 +1608,45 @@ class PallasTracer:
         self.sph_start = (jnp.asarray(self.bake.sph_start)
                           if len(self.bake.sph_start)
                           else jnp.full((1, 1), -1, jnp.int32))
-        if self.bake.tri_mode == "tpose":
-            # transposed split-precision resident layout (see the
-            # _TRI_TPOSE_LEAF_K comment): f32 geometry (9, Tpad) +
-            # bf16 attrs (31, Tpad) + transposed node arrays (C, Mpad).
-            # Pad the minor dims to whole 128-lane tiles; pad entries are
-            # never referenced (no leaf/link points there).
-            def tpad(a, dtype):
-                at = np.ascontiguousarray(np.asarray(a).T)
-                pad = (-at.shape[1]) % LANES
-                at = np.pad(at, ((0, 0), (0, pad)))
-                return jnp.asarray(at, dtype)
-
-            tt = self.bake.tri_table
-            self.tri_table = tpad(tt[:, :_TRI_N0], np.float32)
-            # bf16 attr pairs packed into i32 words (round-to-nearest-even);
-            # Mosaic supports only 32-bit scalar loads, so col 2r sits in the
-            # low half of word r and col 2r+1 in the high half
-            at = tt[:, _TRI_N0:].astype(np.float32)
-            if at.shape[1] % 2:
-                at = np.pad(at, ((0, 0), (0, 1)))
-            u = at.view(np.uint32)
-            b16 = ((u + 0x7FFF + ((u >> 16) & 1)) >> 16).astype(np.uint32)
-            packed = (b16[:, 0::2] | (b16[:, 1::2] << 16)).astype(np.uint32)
-            self.tri_attr = tpad(packed.view(np.int32), np.int32)
-            self.tri_nodes = tpad(self.bake.tri_nodes, np.float32)
-            self.tri_links = tpad(self.bake.tri_links, np.int32)
-            self.tri_start = tpad(self.bake.tri_start, np.int32)
+        self.tri_table = pad1(self.bake.tri_table, _TRI_COLS, np.float32)
+        if self.bake.tri_stream:
+            # streamed leaves DMA row blocks out of the HBM-resident
+            # table; Mosaic requires the copied slice to cover whole
+            # (1,128) lane tiles, so pad the 40 data columns up to one
+            # full tile (the padded memref occupies the same HBM
+            # either way)
+            self.tri_table = jnp.pad(
+                self.tri_table, ((0, 0), (0, LANES - _TRI_COLS)))
+        # fused (M, 9) node array: bounds | hit/miss links | leaf start as
+        # exactly-representable f32 (counts far below 2^24) — 512 B/node of
+        # VMEM instead of three lane-padded arrays at 1536 B/node
+        if len(self.bake.tri_nodes):
+            fused = np.concatenate(
+                [np.asarray(self.bake.tri_nodes, np.float32),
+                 np.asarray(self.bake.tri_links, np.float32),
+                 np.asarray(self.bake.tri_start, np.float32)], axis=1)
         else:
-            self.tri_table = pad1(self.bake.tri_table, _TRI_COLS, np.float32)
-            if self.bake.tri_stream:
-                # streamed leaves DMA row blocks out of the HBM-resident
-                # table; Mosaic requires the copied slice to cover whole
-                # (1,128) lane tiles, so pad the 40 data columns up to one
-                # full tile (the padded memref occupies the same HBM
-                # either way)
-                self.tri_table = jnp.pad(
-                    self.tri_table, ((0, 0), (0, LANES - _TRI_COLS)))
-            self.tri_attr = jnp.zeros((1, LANES), jnp.int32)  # unused
-            self.tri_nodes = pad1(self.bake.tri_nodes, 6, np.float32)
-            self.tri_links = pad1(self.bake.tri_links, 2, np.int32)
-            self.tri_start = (jnp.asarray(self.bake.tri_start)
-                              if len(self.bake.tri_start)
-                              else jnp.full((1, 1), -1, jnp.int32))
+            fused = np.full((1, 9), -1.0, np.float32)
+        self.tri_nodes = jnp.asarray(fused)
         self.n_tri_nodes = len(self.bake.tri_nodes)
         self.n_sph_nodes = len(self.bake.sph_nodes)
+        # world AABB for the sorted-wavefront driver's morton keys: the
+        # TRIANGLE bounds when a mesh exists (a huge ground sphere would
+        # otherwise stretch the quantization grid until the mesh collapses
+        # into one cell), else the union of sphere bounds.  Only packet
+        # coherence depends on this, never correctness.
+        if self.n_tri_nodes:
+            self.world_lo = np.asarray(self.bake.tri_nodes[0, :3])
+            self.world_hi = np.asarray(self.bake.tri_nodes[0, 3:6])
+        elif len(self.bake.sphere_table):
+            tb = self.bake.sphere_table
+            c0, c1 = tb[:, 0:3], tb[:, 3:6]
+            r = np.abs(tb[:, 8:9])
+            self.world_lo = (np.minimum(c0, c1) - r).min(0)
+            self.world_hi = (np.maximum(c0, c1) + r).max(0)
+        else:
+            self.world_lo = np.full(3, -1.0, np.float32)
+            self.world_hi = np.full(3, 1.0, np.float32)
         # phase-2 shading reads hit points only for position-dependent
         # textures (checker + perlin family) and uv only for image textures
         # — see walk()
@@ -1716,8 +1679,7 @@ class PallasTracer:
         n, seed, args = self._tile_args(o, d, tm, key)
         lr, lg, lb = _run(self.key, seed, self.sph_table, self.sph_nodes,
                           self.sph_links, self.sph_start, self.tri_table,
-                          self.tri_attr, self.tri_nodes, self.tri_links,
-                          self.tri_start,
+                          self.tri_nodes,
                           *args, max_depth=max_depth, t_min=t_min,
                           interpret=interpret, rr_start=rr_start)
         out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)], axis=-1)
@@ -1741,9 +1703,8 @@ class PallasTracer:
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
         lr, lg, lb = _run(
             self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
-            self.sph_start, self.tri_table, self.tri_attr, self.tri_nodes,
-            self.tri_links,
-            self.tri_start, None, None, None, None, None, None, None,
+            self.sph_start, self.tri_table, self.tri_nodes,
+            None, None, None, None, None, None, None,
             max_depth=max_depth, t_min=t_min, interpret=interpret,
             cam=cam, pix_base=pb, rows=rows, rr_start=rr_start)
         out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)],
@@ -1764,12 +1725,52 @@ class PallasTracer:
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
         return _run(
             self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
-            self.sph_start, self.tri_table, self.tri_attr, self.tri_nodes,
-            self.tri_links,
-            self.tri_start, None, None, None, None, None, None, None,
+            self.sph_start, self.tri_table, self.tri_nodes,
+            None, None, None, None, None, None, None,
             max_depth=max_depth, t_min=t_min, interpret=interpret,
             record=True, shade=shade, need_p=self.need_p,
             need_uv=self.need_uv, cam=cam, pix_base=pb, rows=rows)
+
+    def step(self, o, d, tm, alive, seed, t_min=0.001):
+        """ONE bounce for the sorted-wavefront driver (engine/wavefront.py).
+
+        o/d: (N, 3) rays (N a multiple of STEP_SUB*LANES or padded here),
+        tm: (N,) ray times, alive: (N,) bool, seed: i32 scalar derived by
+        `wave_seed` ARITHMETIC (the SMEM-scalar rules in trace_pixels apply).
+
+        Returns (packed (N,) i32, *extra, new_o (N, 3), new_d (N, 3)) where
+        packed/extra follow walk_packed's layout (mat | hit<<16 | cont<<17 |
+        miss<<18; extra = p xyz when need_p, uv when need_uv) and new_o/new_d
+        are the in-kernel scattered rays (pass-through where not hit).
+        All-dead (STEP_SUB, 128) tiles skip the walk entirely — the driver
+        sorts terminated rays last, so they cost one any() reduction.
+        """
+        interpret = jax.default_backend() != "tpu"
+        n = o.shape[0]
+        tile = STEP_SUB * LANES
+        rows = -(-n // tile) * STEP_SUB
+        pad = rows * LANES - n
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            tm = jnp.concatenate([tm, jnp.zeros(pad, tm.dtype)])
+            alive = jnp.concatenate([alive, jnp.zeros(pad, bool)])
+        args = [a.reshape(rows, LANES) for a in
+                (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tm)]
+        alive_plane = alive.astype(jnp.float32).reshape(rows, LANES)
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
+        out = _run(
+            self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
+            self.sph_start, self.tri_table, self.tri_nodes,
+            *args, max_depth=1, t_min=t_min, interpret=interpret,
+            record=True, shade=False, need_p=self.need_p,
+            need_uv=self.need_uv, step=True, sub=STEP_SUB, alive=alive_plane)
+        n_rec = 1 + (3 if self.need_p else 0) + (2 if self.need_uv else 0)
+        rec = [a.reshape(-1)[:n] for a in out[:n_rec]]
+        rays = [a.reshape(-1)[:n] for a in out[n_rec:]]
+        new_o = jnp.stack(rays[0:3], axis=-1)
+        new_d = jnp.stack(rays[3:6], axis=-1)
+        return (*rec, new_o, new_d)
 
     def fused_packed(self, o, d, tm, key, max_depth=50, t_min=0.001):
         """Shade AND record in one kernel pass: (radiance (n, 3), planes).
@@ -1783,9 +1784,8 @@ class PallasTracer:
         n, seed, args = self._tile_args(o, d, tm, key)
         out = _run(
             self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
-            self.sph_start, self.tri_table, self.tri_attr, self.tri_nodes,
-            self.tri_links,
-            self.tri_start, *args,
+            self.sph_start, self.tri_table, self.tri_nodes,
+            *args,
             max_depth=max_depth, t_min=t_min, interpret=interpret,
             record=True, shade=True, need_p=self.need_p, need_uv=self.need_uv,
         )
@@ -1810,9 +1810,8 @@ class PallasTracer:
         n, seed, args = self._tile_args(o, d, tm, key)
         out = _run(
             self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
-            self.sph_start, self.tri_table, self.tri_attr, self.tri_nodes,
-            self.tri_links,
-            self.tri_start, *args,
+            self.sph_start, self.tri_table, self.tri_nodes,
+            *args,
             max_depth=max_depth, t_min=t_min, interpret=interpret, record=True,
             need_p=self.need_p, need_uv=self.need_uv,
         )

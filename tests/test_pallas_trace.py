@@ -139,35 +139,13 @@ class TestMeshWalk:
         sd = scenes.get("door")
         o, d, tm = _rays_for(sd)
         r = np.asarray(trace(sd.scene, o, d, tm, KEY, max_depth=1))
-        # below the door table's ~1.1 MB row-major footprint AND below its
-        # transposed footprint (so the bake falls through BOTH resident
-        # tiers to streaming) but above its streamed node-side ~0.4 MB
+        # below the door table's ~1.1 MB row-major footprint (so the bake
+        # falls through to streaming) but above its streamed node-side cost
         monkeypatch.setattr(pt, "_TRI_VMEM_BUDGET", 768 * 1024)
-        monkeypatch.setattr(pt, "_TRI_TPOSE_BUDGET", 64 * 1024)
         tracer = PallasTracer(sd.scene)
         assert tracer.bake.tri_stream
         p = np.asarray(tracer(None, o, d, tm, KEY, max_depth=1))
         np.testing.assert_allclose(p, r, rtol=1e-4, atol=1e-5)
-
-    def test_tpose_resident_matches_xla(self, monkeypatch):
-        """Transposed split-precision resident path (big meshes) vs the XLA
-        tracer: force it on the door mesh (2,165 tris) by dropping the
-        row-major VMEM budget; depth-1 forward must agree up to the bf16
-        attribute quantization (geometry stays f32, so hit/miss and t are
-        exact)."""
-        from raytracing_gpu_tpu.ops import pallas_trace as pt
-
-        sd = scenes.get("door")
-        o, d, tm = _rays_for(sd)
-        r = np.asarray(trace(sd.scene, o, d, tm, KEY, max_depth=1))
-        monkeypatch.setattr(pt, "_TRI_VMEM_BUDGET", 256 * 1024)
-        # the tier is gated off by default (Mosaic dynamic-lane reads);
-        # force it on to keep the interpret-mode math covered
-        monkeypatch.setattr(pt, "_TRI_TPOSE_ENABLED", True)
-        tracer = PallasTracer(sd.scene)
-        assert tracer.bake.tri_mode == "tpose"
-        p = np.asarray(tracer(None, o, d, tm, KEY, max_depth=1))
-        np.testing.assert_allclose(p, r, rtol=1e-2, atol=1e-2)
 
     def test_walk_records_uv_for_image_textures(self):
         sd = scenes.get("door")

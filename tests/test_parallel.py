@@ -154,3 +154,46 @@ class TestShardedPallas:
         a, b = xla / st.spp_per_chunk, pal / st.spp_per_chunk
         assert abs(a.mean() - b.mean()) < 0.02
         assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.95
+
+
+class TestShardedFused:
+    """Sharded fused hand-VJP renderer (engine/fused_diff.py mesh= path):
+    the record-holding differentiable path must scale — primal AND gradients
+    must equal the single-device fused renderer up to float summation order
+    (VERDICT r3 #3)."""
+
+    @pytest.mark.parametrize("n_sp,n_dp", [(2, 4), (1, 8)])
+    def test_fused_sharded_matches_single(self, n_sp, n_dp):
+        import jax.numpy as jnp
+
+        from raytracing_gpu_tpu.engine import diff
+        from raytracing_gpu_tpu.engine.fused_diff import \
+            compile_fused_param_renderer
+
+        sd = scenes.get("cornell_box")
+        st = RenderSettings(image_width=24, aspect_ratio=1.0, spp_per_chunk=2,
+                            num_chunks=1, max_depth=3, ray_batch=576)
+        key = jax.random.PRNGKey(11)
+        params = diff.get_params(sd.scene)
+        npix = st.num_pixels
+
+        single = compile_fused_param_renderer(sd.scene, sd.camera, st,
+                                              gen_rays=False)
+        mesh = make_mesh(n_sp=n_sp, n_dp=n_dp)
+        shard = compile_fused_param_renderer(sd.scene, sd.camera, st,
+                                             mesh=mesh, gen_rays=False)
+
+        a = np.asarray(single(params, key))[:npix]
+        b = np.asarray(shard(params, key))[:npix]
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
+
+        target = jnp.zeros((npix, 3))
+        g1 = jax.grad(
+            lambda p: jnp.mean((single(p, key)[:npix] - target) ** 2))(params)
+        g2 = jax.grad(
+            lambda p: jnp.mean((shard(p, key)[:npix] - target) ** 2))(params)
+        for k in g1:
+            ga, gb = np.asarray(g1[k]), np.asarray(g2[k])
+            scale = np.abs(ga).max() + 1e-12
+            np.testing.assert_allclose(gb, ga, rtol=0, atol=2e-5 * scale,
+                                       err_msg=k)

@@ -96,8 +96,8 @@ def test_100k_tri_walk_matches_xla(tpu):
     its actual 100,352-triangle size (the CPU tier only exercises the
     2,165-tri door mesh with a lowered threshold) against the XLA BVH walk.
     Row-major 51 MB can't fit VMEM, so the bake must pick the streamed-leaf
-    DMA mode (the transposed-resident tier is gated off until its
-    dynamic-lane reads lower in Mosaic — _TRI_TPOSE_ENABLED)."""
+    DMA mode (fused (M, 9) node array resident, one DMA per visited
+    leaf)."""
     import jax
 
     from raytracing_gpu_tpu.engine.intersect import closest_hit
@@ -123,28 +123,6 @@ def test_100k_tri_walk_matches_xla(tpu):
     mid_k = (packed[0] & 0xFFFF)[hit_k]
     mid_x = np.asarray(rec.mat_id)[hit_x]
     np.testing.assert_array_equal(mid_k, mid_x)
-
-
-def test_100k_tri_streamed_walk_matches_xla(tpu, monkeypatch):
-    """The HBM-streamed leaf-DMA fallback (meshes too big even for the
-    transposed resident layout) forced at 100,352-triangle scale."""
-    import jax
-
-    from raytracing_gpu_tpu.engine.intersect import closest_hit
-    from raytracing_gpu_tpu.models import scenes
-    from raytracing_gpu_tpu.ops import pallas_trace as pt
-
-    monkeypatch.setattr(pt, "_TRI_TPOSE_BUDGET", 0)
-    sd = scenes.get("backpack")
-    tracer = pt.PallasTracer(sd.scene)
-    assert tracer.bake.tri_stream
-    o, d, tm = _rays(sd, 4096, 3)
-    k = jax.random.PRNGKey(9)
-    planes = tracer.walk_packed(o, d, tm, k, max_depth=2)
-    hit_k = (np.asarray(planes[0])[0] & (1 << 16)) != 0
-    hit_x = np.asarray(closest_hit(sd.scene, o, d, tm, k).hit)
-    np.testing.assert_array_equal(hit_k, hit_x)
-    assert hit_k.sum() > 500
 
 
 def test_fused_diff_chunk_on_tpu(tpu):
@@ -176,7 +154,9 @@ def test_fused_diff_chunk_on_tpu(tpu):
     # mean radiance agreement at MC-noise level, not per-sample equality
     fus = compile_fused_param_renderer(sd.scene, sd.camera, st)
     b = np.asarray(fus(params, key))
-    assert abs(a.mean() - b.mean()) < 0.05 * max(a.mean(), 1e-6)
+    # 5% relative with a real absolute floor: MC noise of the independent
+    # RNG stream does not shrink with scene brightness (ADVICE r3)
+    assert abs(a.mean() - b.mean()) < 0.05 * a.mean() + 1e-3
     g = jax.jit(jax.grad(lambda p: fus(p, key).mean()))(params)
     for name, grad in g.items():
         assert np.all(np.isfinite(np.asarray(grad))), name

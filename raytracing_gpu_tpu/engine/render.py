@@ -112,7 +112,7 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
         on = jax.default_backend() == "tpu" or engine == "pallas"
         if on and pallas_trace.supports_scene(scene):
             tracer = pallas_trace.PallasTracer(scene)
-            if tracer.bake.tri_stream:
+            if tracer.bake.tri_stream and tracer.supports_hit:
                 # 100k-triangle class: bounce-synchronous sorted wavefront
                 # (per-bounce ray reordering keeps the packet walk coherent;
                 # the full-depth megakernel diverges to the whole tree —

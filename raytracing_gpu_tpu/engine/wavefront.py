@@ -6,15 +6,18 @@ union approaches the whole tree — the round-3 measurement was 0.46 Mrays/s
 on the 100,352-triangle backpack vs 811 on Cornell (docs/PERF.md).  The
 TPU-native fix is bounce-synchronous reordering: keep the bounce loop in
 XLA and, between bounces, SORT the wave by (terminated, direction octant,
-origin morton) so every (8, 128) packet the single-bounce kernel
-(`ops.pallas_trace.PallasTracer.step`) sees is coherent — and dead rays
+origin morton) so every (8, 128) packet the closest-hit kernel
+(`ops.pallas_trace.PallasTracer.hit`) sees is coherent — and dead rays
 compact into all-dead tiles the kernel skips for the cost of one any().
-XLA does what it is good at (argsort, gathers, material-table shading);
-Pallas does the packet BVH walk and in-kernel scatter sampling.
 
-Because the bounce loop owns the throughput in XLA, russian roulette works
-here even for image-textured scenes — the one configuration the full-depth
-record walk cannot roulette (engine/render.py).
+The division of labor is strict: Pallas walks the packed-geometry BVH and
+returns (t, p, barycentrics, slot); XLA does everything that needs gathers
+or RNG — winner-attribute resolution from the scene tables (normals/uv/
+material by slot id), `materials.scatter` direction sampling, shading,
+russian roulette, and the argsort itself.  Because the bounce loop owns the
+throughput in XLA, RR works here even for image-textured scenes — the one
+configuration the full-depth record walk cannot roulette
+(engine/render.py).
 
 Reference analogue: the per-thread megakernel bounce loop `render.h:55-81`,
 restructured as a wavefront with ray reordering; the reference needs no
@@ -30,11 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from ..core import rng
+from ..core import rng, vec
 from ..core.camera import Camera
 from ..core.config import RenderSettings
 from ..scene import materials as materials_mod
 from ..scene.types import Scene
+from .intersect import HitRecord
 from .render import _grid_geometry
 
 
@@ -67,31 +71,71 @@ def _sort_keys(o: Array, d: Array, alive: Array, lo, hi) -> Array:
     return (dead << 30) | (okt << 21) | morton
 
 
+def resolve_hit(scene: Scene, tri_perm: Array, packed: Array, p: Array,
+                u: Array, v: Array, normal: Array, slot: Array,
+                d: Array) -> HitRecord:
+    """Hit-kernel outputs -> HitRecord: the attribute resolve the kernel
+    defers (Mosaic has no gathers; XLA row-gathers at wave width are cheap).
+
+    Triangle winners carry barycentrics (u = vertex-1 weight, v = vertex-2
+    weight) and a packed-table slot; normals/uv/material gather from the
+    scene's triangle columns exactly as the XLA tracer's `tri_record`
+    (reference `triangle.h:101-116,160-174`).  Non-triangle winners arrive
+    fully resolved (normal faced+normalized in-kernel, uv final).
+    """
+    hit = (packed & (1 << 16)) != 0
+    front_nt = (packed & (1 << 19)) != 0
+    is_tri = (packed & (1 << 20)) != 0
+    tr = scene.triangles
+    orig = tri_perm[jnp.clip(slot.astype(jnp.int32), 0,
+                             tri_perm.shape[0] - 1)]
+    orig = jnp.maximum(orig, 0)
+    w0 = (1.0 - u - v)[:, None]
+    vert_n = (w0 * tr.n0[orig] + u[:, None] * tr.n1[orig]
+              + v[:, None] * tr.n2[orig])
+    face_n = vec.cross(tr.e2[orig], tr.e1[orig])   # reference normal order
+    outward = vec.where(tr.has_vn[orig], vert_n, face_n)
+    front_t = vec.dot(d, outward) < 0.0
+    n_t = vec.unit(vec.where(front_t, outward, -outward))
+    uv_t = (w0 * tr.uv0[orig] + u[:, None] * tr.uv1[orig]
+            + v[:, None] * tr.uv2[orig])
+    mat = jnp.where(is_tri, tr.mat_id[orig], packed & 0xFFFF)
+    return HitRecord(
+        hit=hit, t=jnp.zeros_like(u), p=p,
+        normal=vec.where(is_tri, n_t, normal),
+        front_face=jnp.where(is_tri, front_t, front_nt),
+        u=jnp.where(is_tri, uv_t[:, 0], u),
+        v=jnp.where(is_tri, uv_t[:, 1], v),
+        mat_id=mat,
+    )
+
+
 def compile_wavefront_renderer(
     scene: Scene, camera: Camera, settings: RenderSettings,
     tracer=None,
 ) -> Callable[[Array], Array]:
     """Scene-specialized forward renderer: key -> (npix_pad, 3) sums.
 
-    Drop-in for `engine.render.compile_renderer` on scenes with HBM-streamed
-    triangle tables (`tracer.bake.tri_stream`).  Radiance is estimated with
-    the same estimator as the megakernel path; the RNG stream differs
-    (in-kernel PCG per bounce), so parity with the XLA engine is statistical,
-    like `trace_pixels`.
+    Drop-in for `engine.render.compile_renderer` on big-mesh scenes
+    (`tracer.bake.tri_stream` and `tracer.supports_hit`).  The estimator is
+    `engine.integrator.trace`'s (same scatter/shade code, XLA threefry keys);
+    only the intersector differs, so parity with the XLA engine is exact on
+    hits and statistical on radiance.
     """
     from ..ops import pallas_trace
 
     if tracer is None:
         tracer = pallas_trace.PallasTracer(scene)
-    need_p, need_uv = tracer.need_p, tracer.need_uv
+    assert tracer.supports_hit
     h, w, npix, npix_pad, b, nb = _grid_geometry(settings)
     spp = settings.spp_per_chunk
     max_depth, t_min = settings.max_depth, settings.t_min
     rr_start = settings.rr_start
     bg = jnp.asarray(np.asarray(scene.background), jnp.float32)
     lo = jnp.asarray(tracer.world_lo, jnp.float32)
-    hi = jnp.asarray(jnp.maximum(tracer.world_hi - tracer.world_lo, 1e-6)
-                     + tracer.world_lo, jnp.float32)
+    hi = lo + jnp.maximum(
+        jnp.asarray(tracer.world_hi, jnp.float32) - lo, 1e-6)
+    tri_perm = tracer.tri_perm
 
     flat = jnp.arange(npix_pad, dtype=jnp.int32)
     rows_all = jnp.minimum(flat // w, h - 1).reshape(nb, b)
@@ -99,43 +143,34 @@ def compile_wavefront_renderer(
     inv_w = 1.0 / max(w - 1, 1)
     inv_h = 1.0 / max(h - 1, 1)
 
-    def shade_bounce(out, o, d, tm, thr, rad, alive, k_rr, depth):
-        """Consume one step-kernel output: accumulate radiance, advance."""
-        it = iter(out)
-        packed = next(it)
-        if need_p:
-            p = jnp.stack([next(it), next(it), next(it)], axis=-1)
-        else:
-            p = jnp.zeros((b, 3), jnp.float32)
-        if need_uv:
-            u, v = next(it), next(it)
-        else:
-            u = v = jnp.zeros((b,), jnp.float32)
-        new_o, new_d = next(it), next(it)
-
-        # masks already include the alive plane the kernel was given
-        hit = (packed & (1 << 16)) != 0
-        cont = (packed & (1 << 17)) != 0
-        miss = (packed & (1 << 18)) != 0
-        mat = packed & 0xFFFF
-        att, emit = materials_mod.shade(scene, mat, u, v, p)
+    def bounce_shade(o, d, tm, thr, rad, alive, kb, depth):
+        """One kernel closest-hit + the XLA half of the bounce — the same
+        update `engine.integrator.trace` performs (`render.h:55-81`)."""
+        k_scat, k_rr = jax.random.split(rng.fold(kb, depth))
+        packed, p, u, v, normal, slot = tracer.hit(o, d, tm, alive,
+                                                   t_min=t_min)
+        rec = resolve_hit(scene, tri_perm, packed, p, u, v, normal, slot, d)
+        miss = (packed & (1 << 18)) != 0   # alive & ~hit (kernel-masked)
+        sc = materials_mod.scatter(scene, k_scat, d, rec.p, rec.normal,
+                                   rec.front_face, rec.u, rec.v, rec.mat_id)
         rad = rad + jnp.where(miss[:, None], thr * bg, 0.0)
-        rad = rad + jnp.where(hit[:, None], thr * emit, 0.0)
-        thr = jnp.where(cont[:, None], thr * att, thr)
+        rad = rad + jnp.where(rec.hit[:, None], thr * sc.emitted, 0.0)
+        cont = rec.hit & sc.ok
+        thr = jnp.where(cont[:, None], thr * sc.attenuation, thr)
         if rr_start > 0:
-            # russian roulette in XLA — the wavefront owns the throughput,
-            # so image-textured scenes roulette too (engine.integrator.trace
-            # semantics: survive w.p. clip(max(thr), .05, 1), reweight)
+            # integrator.trace's russian roulette, wavefront edition: the
+            # throughput lives in XLA, so image-textured scenes roulette too
             p_s = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
             do_rr = depth >= rr_start
-            survive = ~do_rr | (rng.uniform(k_rr, (b,)) < p_s)
+            survive = ~do_rr | (rng.uniform(k_rr, (thr.shape[0],)) < p_s)
             scale = jnp.where(do_rr & survive, 1.0 / p_s, 1.0)
             thr = jnp.where(cont[:, None], thr * scale[:, None], thr)
             cont = cont & survive
-        # the kernel passes rays through where not hit
-        return new_o, new_d, tm, thr, rad, cont
+        o = vec.where(rec.hit, rec.p, o)
+        d = vec.where(rec.hit, sc.direction, d)
+        return o, d, tm, thr, rad, cont
 
-    def trace_wave(o, d, tm, base, s, bid, k_rr):
+    def trace_wave(o, d, tm, kb):
         n = o.shape[0]
         thr = jnp.ones((n, 3), jnp.float32)
         rad = jnp.zeros((n, 3), jnp.float32)
@@ -143,11 +178,8 @@ def compile_wavefront_renderer(
         alive = jnp.ones((n,), bool)
 
         # bounce 0 unsorted: primary rays are pixel-coherent already
-        out = tracer.step(o, d, tm, alive,
-                          pallas_trace.wave_seed(base, s, bid, 0),
-                          t_min=t_min)
-        o, d, tm, thr, rad, alive = shade_bounce(
-            out, o, d, tm, thr, rad, alive, rng.fold(k_rr, 0), 0)
+        o, d, tm, thr, rad, alive = bounce_shade(o, d, tm, thr, rad, alive,
+                                                 kb, 0)
 
         def live_bounce(carry, depth):
             o, d, tm, thr, rad, alive, perm = carry
@@ -155,11 +187,8 @@ def compile_wavefront_renderer(
             o, d = o[order], d[order]
             tm, thr, rad = tm[order], thr[order], rad[order]
             alive, perm = alive[order], perm[order]
-            out = tracer.step(o, d, tm, alive,
-                              pallas_trace.wave_seed(base, s, bid, depth),
-                              t_min=t_min)
-            o, d, tm, thr, rad, alive = shade_bounce(
-                out, o, d, tm, thr, rad, alive, rng.fold(k_rr, depth), depth)
+            o, d, tm, thr, rad, alive = bounce_shade(
+                o, d, tm, thr, rad, alive, kb, depth)
             return (o, d, tm, thr, rad, alive, perm)
 
         def bounce(carry, depth):
@@ -180,20 +209,18 @@ def compile_wavefront_renderer(
 
     @jax.jit
     def chunk(key):
-        base = pallas_trace.chunk_seed(key)
-
         def one(x):
             s, bid = x
             ks = rng.fold(key, s)
             kb = rng.fold(ks, bid)
-            k_jit, k_cam, k_rr = jax.random.split(kb, 3)
+            k_jit, k_cam, k_trace = jax.random.split(kb, 3)
             jit2 = rng.uniform(k_jit, (b, 2))
             r = rows_all[bid]
             c = cols_all[bid]
             u = (c.astype(jnp.float32) + jit2[:, 0]) * inv_w
             v = ((h - 1 - r).astype(jnp.float32) + jit2[:, 1]) * inv_h
             o, d, tm = camera.get_rays(k_cam, u, v)
-            return trace_wave(o, d, tm, base, s, bid, k_rr)
+            return trace_wave(o, d, tm, k_trace)
 
         rads = jax.lax.map(one, (s_idx, b_idx))
         return rads.reshape(spp, nb, b, 3).sum(0).reshape(npix_pad, 3)

@@ -59,7 +59,10 @@ from ..scene import types as st
 
 BIG = 1e30
 SUB = 64          # sublane rows per tile -> tile = (64, 128) = 8192 rays
-STEP_SUB = 8      # step-mode packet: (8, 128) = 1024 rays = one native vreg
+STEP_SUB = 32     # hit/step packet rows: (32, 128) = 4096 rays.  v5e sweep
+                  # (backpack, coherent 65k wave): 8 -> 11.2 ms, 16 -> 6.6,
+                  # 32 -> 5.0, 64 -> 5.7 — bigger packets amortize the
+                  # scalar node walk until union growth wins at 64
 LANES = 128
 TILE = SUB * LANES
 _EPS = 1e-12
@@ -91,6 +94,10 @@ class SceneBake(NamedTuple):
     tri_start: np.ndarray     # (M, 1) int32 leaf start row (-1 = internal)
     tri_leaf_k: int
     tri_mode: str             # "resident" | "stream" (see _bake_triangles)
+    tri_geom: np.ndarray      # (R, 128) packed hit-tier geometry rows
+    tri_perm: np.ndarray      # (R*_HIT_PACK,) i32 slot -> original tri id
+    hit_nodes: np.ndarray     # (Mh, 23) hit-tier nodes: bounds|start|links8
+    hit_rows_per_leaf: int
     background: tuple
     sky: bool
     digest: str            # content hash — the jit static-arg identity
@@ -123,6 +130,19 @@ _TRI_LEAF_K = 4         # resident-table leaf size (unchanged from round 1)
 _TRI_STREAM_LEAF_K = 16  # streamed leaf size: one DMA per visited leaf
 _SPH_BVH_MIN = 64        # dense sphere loop below this many rows
 _SPH_LEAF_K = 8
+# ---- packed-geometry hit tier (the closest-hit kernel, `_make_hit_kernel`)
+# The denormalized 40-col rows cost 512 B each (lane padding) and 28 scalar
+# VMEM reads per candidate — measured on v5e: ~290 ns/candidate, chain-bound
+# on the scalar loads, plus ~2.6 us DMA latency per streamed leaf.  The hit
+# tier stores GEOMETRY ONLY (v0|e1|e2 = 9 f32), 14 triangles per 128-lane
+# row, so a 100k-tri mesh is ~5 MB and VMEM-RESIDENT; leaves are padded to
+# whole rows (leaf start is a ROW index), each visit is ROWS_PER_LEAF
+# dynamic-sublane vector loads + static-lane extracts, and the winner's
+# attributes (normals/uv/material) resolve OUTSIDE the kernel by one gather
+# per wave (engine/wavefront.py) — the kernel never touches them.
+_HIT_PACK = 14                  # triangles per geometry row (14 * 9 = 126)
+_HIT_ROWS_PER_LEAF = 2          # leaf = 28 candidates, escalated if needed
+_HIT_VMEM_BUDGET = 11 * 2**20   # geometry rows + fused node array
 
 # sphere row column layout (see bake_scene)
 _SPH_C0, _SPH_C1, _SPH_T0, _SPH_T1, _SPH_RAD, _SPH_KIND = 0, 3, 6, 7, 8, 9
@@ -287,16 +307,17 @@ def bake_scene(scene: st.Scene) -> SceneBake:
                             np.maximum(c0s, c1s) + rr, leaf_size=_SPH_LEAF_K)
         table, sph_nodes, sph_links, sph_start = _leaf_contiguous(
             table, bvh, _SPH_LEAF_K)
-    tri_table, tri_nodes, tri_links, tri_start, tri_leaf_k, tri_mode = \
-        _bake_triangles(scene)
+    (tri_table, tri_nodes, tri_links, tri_start, tri_leaf_k, tri_mode,
+     tri_geom, tri_perm, hit_nodes, hit_rows) = _bake_triangles(scene)
     bg = tuple(float(x) for x in np.asarray(scene.background))
 
     h = __import__("hashlib").sha256()
     for part in (rects, boxes, sphere_media, box_media, bg,
-                 tri_leaf_k, tri_mode, _SPH_LEAF_K):
+                 tri_leaf_k, tri_mode, hit_rows, _SPH_LEAF_K):
         h.update(repr(part).encode())
     for arr in (table, sph_nodes, sph_links, sph_start,
-                tri_table, tri_nodes, tri_links, tri_start):
+                tri_table, tri_nodes, tri_links, tri_start,
+                tri_geom, tri_perm, hit_nodes):
         h.update(str(arr.shape).encode())
         h.update(np.ascontiguousarray(arr).tobytes())
     return SceneBake(rects=rects, boxes=boxes, sphere_media=sphere_media,
@@ -306,6 +327,8 @@ def bake_scene(scene: st.Scene) -> SceneBake:
                      tri_table=tri_table, tri_nodes=tri_nodes,
                      tri_links=tri_links, tri_start=tri_start,
                      tri_leaf_k=tri_leaf_k, tri_mode=tri_mode,
+                     tri_geom=tri_geom, tri_perm=tri_perm,
+                     hit_nodes=hit_nodes, hit_rows_per_leaf=hit_rows,
                      background=bg, sky=bg != (0.0, 0.0, 0.0),
                      digest=h.hexdigest())
 
@@ -361,7 +384,10 @@ def _bake_triangles(scene):
         return (np.zeros((0, _TRI_COLS), np.float32),
                 np.zeros((0, 6), np.float32),
                 np.zeros((0, 2), np.int32), np.full((0, 1), -1, np.int32),
-                _TRI_LEAF_K, "resident")
+                _TRI_LEAF_K, "resident",
+                np.zeros((0, LANES), np.float32),
+                np.zeros((0,), np.int32), np.zeros((0, 23), np.float32),
+                _HIT_ROWS_PER_LEAF)
 
     rows = np.zeros((n_all, _TRI_COLS), np.float32)
     v0 = np.asarray(tr.v0, np.float32)
@@ -412,6 +438,8 @@ def _bake_triangles(scene):
 
     from ..utils.profiling import logger
 
+    packed = _bake_tri_packed(rows[:, :9], keep, bmin, bmax)
+
     # Decision chain: row-major resident (leaf_k=4, cheapest candidate
     # count) -> HBM streaming (fused node array resident, leaves DMA'd).
     fits_resident = len(keep) * 512 <= _TRI_VMEM_BUDGET
@@ -421,7 +449,8 @@ def _bake_triangles(scene):
                                                       _TRI_LEAF_K)
         if _tri_vmem_bytes(len(table), len(nodes),
                            "resident") <= _TRI_VMEM_BUDGET:
-            return table, nodes, links, start, _TRI_LEAF_K, "resident"
+            return (table, nodes, links, start, _TRI_LEAF_K, "resident",
+                    *packed)
     # streamed: smallest leaf whose fused node array fits the VMEM budget
     # (fewer candidates per visited leaf beats fewer DMAs — the sorted
     # wavefront keeps visit counts low)
@@ -436,7 +465,107 @@ def _bake_triangles(scene):
     logger.debug("tri bake: %d tris streamed, %d nodes, leaf_k=%d, "
                  "%.1f MB VMEM node-side",
                  len(keep), len(nodes), leaf_k, node_bytes / 2**20)
-    return table, nodes, links, start, leaf_k, "stream"
+    return table, nodes, links, start, leaf_k, "stream", *packed
+
+
+def _bake_tri_packed(geom9: np.ndarray, keep: np.ndarray,
+                     bmin: np.ndarray, bmax: np.ndarray):
+    """Hit-tier bake: geometry-only packed rows + slot->id perm + fused BVH.
+
+    geom9: (n_all, 9) v0|e1|e2 columns; keep: active row indices; bmin/bmax:
+    per-triangle AABBs over ALL rows.  Leaves are padded to whole geometry
+    rows (_HIT_PACK triangles each) so every candidate read is a
+    dynamic-SUBLANE row load + STATIC-lane extract — the layout Mosaic can
+    lower, unlike dynamic-lane scalar reads (the round-3 tpose dead end).
+    Escalates rows-per-leaf until geometry + nodes fit _HIT_VMEM_BUDGET.
+    Returns (geom_rows (R, 128) f32, perm (slots,) i32, nodes (M, 23) f32
+    [bounds | leaf start row | 8 octant link pairs, see _octant_links],
+    rows_per_leaf).
+    """
+    from ..accel import bvh as bvh_mod
+
+    keep = np.asarray(keep)
+    rows_per_leaf = _HIT_ROWS_PER_LEAF
+    while True:
+        leaf_k = rows_per_leaf * _HIT_PACK
+        bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=leaf_k)
+        lp = np.asarray(bvh.leaf_prims)
+        m = lp.shape[0]
+        leaf_nodes = np.nonzero(lp[:, 0] >= 0)[0]
+        nl = len(leaf_nodes)
+        vmem = (nl * rows_per_leaf + m) * 512
+        if vmem <= _HIT_VMEM_BUDGET or rows_per_leaf >= 64:
+            break
+        rows_per_leaf *= 2
+
+    sel = np.full((nl, leaf_k), -1, np.int64)
+    sel[:, : lp.shape[1]] = lp[leaf_nodes]
+    gk = geom9[keep].astype(np.float32)        # (nk, 9)
+    gk_pad = np.concatenate([gk, np.zeros((1, 9), np.float32)])
+    src = np.where(sel >= 0, sel, len(gk)).reshape(-1)
+    slots = gk_pad[src]                         # (nl * leaf_k, 9)
+    perm = np.where(sel >= 0, keep[np.clip(sel, 0, None)],
+                    -1).astype(np.int32).reshape(-1)
+    geom_rows = slots.reshape(nl * rows_per_leaf, _HIT_PACK * 9)
+    geom_rows = np.pad(geom_rows,
+                       ((0, 0), (0, LANES - _HIT_PACK * 9))).astype(np.float32)
+    start = np.full(m, -1.0, np.float32)        # leaf start as ROW index
+    start[leaf_nodes] = (np.arange(nl) * rows_per_leaf).astype(np.float32)
+    links8 = _octant_links(bvh)                 # (m, 16) f32
+    # node row (m, 23): bounds | start row | 8 octant (hit, miss) link pairs
+    nodes = np.concatenate(
+        [np.asarray(bvh.node_min, np.float32),
+         np.asarray(bvh.node_max, np.float32),
+         start[:, None], links8], axis=1)
+    return geom_rows, perm, nodes, rows_per_leaf
+
+
+def _octant_links(bvh) -> np.ndarray:
+    """Eight threadings of the BVH, one per ray-direction octant, each
+    visiting the NEAR child first along the separating axis of its children.
+
+    The preorder threading (accel/bvh.py) fixes child order at build time;
+    closest-hit pruning then only kicks in after far geometry was already
+    tested.  With direction-ordered links the walk reaches the near surface
+    first, t_best tightens immediately, and occluded subtrees prune — the
+    stackless analogue of ordered traversal (the reference's cursor walk has
+    no ordering either, `bvh.h:348-436`).  The wavefront driver sorts rays
+    by octant, so a packet shares one ordering; a mixed packet merely loses
+    some pruning (any octant's threading is complete and correct).
+
+    Returns (m, 16) f32: octant o's (hit_link, miss_link) at cols 2o, 2o+1.
+    """
+    hit0 = np.asarray(bvh.hit_link)
+    miss0 = np.asarray(bvh.miss_link)
+    m = len(hit0)
+    leaf = np.asarray(bvh.leaf_prims)[:, 0] >= 0
+    # children in preorder threading: first = i+1, second = miss(i+1)
+    c1 = np.arange(1, m + 1)
+    c2 = np.where(~leaf, miss0[np.clip(c1, 0, m - 1)], -1)
+    cen = 0.5 * (np.asarray(bvh.node_min) + np.asarray(bvh.node_max))
+    out = np.zeros((m, 16), np.float32)
+    for oct_ in range(8):
+        neg = np.array([oct_ & 4, oct_ & 2, oct_ & 1]) != 0
+        hit = np.full(m, -1, np.int64)
+        miss = np.full(m, -1, np.int64)
+        # iterative preorder threading with per-node child order
+        stack = [(0, -1)]
+        while stack:
+            i, succ = stack.pop()
+            miss[i] = succ
+            if leaf[i]:
+                hit[i] = succ
+                continue
+            a, b = int(c1[i]), int(c2[i])
+            axis = int(np.argmax(np.abs(cen[b] - cen[a])))
+            if (cen[b][axis] < cen[a][axis]) != neg[axis]:
+                a, b = b, a     # b-side is nearer for this octant
+            hit[i] = a
+            stack.append((b, succ))
+            stack.append((a, b))
+        out[:, 2 * oct_] = hit.astype(np.float32)
+        out[:, 2 * oct_ + 1] = miss.astype(np.float32)
+    return out
 
 
 def _tri_vmem_bytes(n_table_rows: int, n_nodes: int, mode: str) -> int:
@@ -1058,13 +1187,22 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                         read(_TRI_FUZZ), read(_TRI_IR), carry, uu, vv)
 
                 if tri_stream:
+                    import os as _os
+                    _dbg = _os.environ.get("RT_TRI_DEBUG", "")
+
                     def tri_leaf(base, box_mask, carry):
-                        copy = pltpu.make_async_copy(
-                            tri_ref.at[pl.ds(base, tri_leaf_k)],
-                            tri_scratch, tri_sem)
-                        copy.start()
-                        copy.wait()
-                        for kk in range(tri_leaf_k):
+                        if _dbg == "nodes":      # walk only (perf debug)
+                            return carry
+                        if _dbg != "nodma":
+                            copy = pltpu.make_async_copy(
+                                tri_ref.at[pl.ds(base, tri_leaf_k)],
+                                tri_scratch, tri_sem)
+                            copy.start()
+                            copy.wait()
+                        if _dbg == "dma":        # DMA only (perf debug)
+                            return carry
+                        n_cand = 1 if _dbg == "cand1" else tri_leaf_k
+                        for kk in range(n_cand):
                             carry = tri_candidate(
                                 lambda col, kk=kk: tri_scratch[kk, col],
                                 box_mask, carry)
@@ -1436,17 +1574,29 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 
         state = (*rays0, ones, ones, ones, zeros, zeros, zeros, ones)
 
-        # early exit: the whole tile stops as soon as every lane is dead
-        # (the reference breaks per-thread, render.h:60-79; at depth-50
-        # defaults most lanes die within ~8 bounces)
-        def w_cond(bs):
-            return (bs[0] < max_depth) & jnp.any(bs[-1] > 0.5)
+        if record and max_depth <= 16:
+            # STATIC depth unroll: every per-bounce plane store then has a
+            # static offset.  The while_loop form stores at a loop-carried
+            # index, which v5e measured at 2.7x the forward kernel (621 vs
+            # 1,673 Mrays/s — the round-3 record-walk store tax); the
+            # per-bounce cond keeps the all-dead early exit.
+            for b in range(max_depth):
+                state = jax.lax.cond(jnp.any(state[-1] > 0.5),
+                                     functools.partial(bounce, b),
+                                     lambda s: s, state)
+        else:
+            # early exit: the whole tile stops as soon as every lane is dead
+            # (the reference breaks per-thread, render.h:60-79; at depth-50
+            # defaults most lanes die within ~8 bounces)
+            def w_cond(bs):
+                return (bs[0] < max_depth) & jnp.any(bs[-1] > 0.5)
 
-        def w_body(bs):
-            b = bs[0]
-            return (b + 1, *bounce(b, bs[1:]))
+            def w_body(bs):
+                b = bs[0]
+                return (b + 1, *bounce(b, bs[1:]))
 
-        state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), *state))[1:]
+            state = jax.lax.while_loop(w_cond, w_body,
+                                       (jnp.int32(0), *state))[1:]
         if shade:
             lr_ref[:] = state[10]
             lg_ref[:] = state[11]
@@ -1535,6 +1685,411 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
         interpret=interpret,
     )(seed, sph_table, sph_nodes, sph_links, sph_start,
       tri_table, tri_nodes, *tail_args)
+    return out
+
+
+def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
+    """PURE closest-hit kernel for the sorted wavefront (engine/wavefront.py).
+
+    One bounce, intersection only: no shading, no scatter, no RNG.  The
+    triangle tier reads the packed GEOMETRY-ONLY rows (see _bake_tri_packed)
+    — ROWS_PER_LEAF dynamic-sublane vector loads per visited leaf, then
+    static-lane extracts per candidate (v5e-measured: the denormalized
+    40-col candidate paid ~290 ns in chained scalar loads; geometry-only
+    extracts out of a loaded vector register pipeline) — and carries only
+    (t, slot, barycentric u, v).  The winner's normals/uv/material resolve
+    OUTSIDE the kernel from the scene tables by slot id (XLA gathers are
+    cheap at wave width; Mosaic has no gathers at all).
+
+    Outputs (per (sub, 128) block): packed i32 [mat | hit<<16 | miss<<18 |
+    front<<19 | is_tri<<20 | is_sph<<21], p xyz, uv (barycentrics for
+    triangle winners, final uv for rect/sphere), outward-faced normal
+    (non-triangle winners only), slot (f32 triangle slot id).
+    Constant media are NOT supported here (no RNG): the router falls back
+    to the full-depth megakernel for media scenes.
+    """
+    assert not bake.sphere_media and not bake.box_media, \
+        "hit kernel is RNG-free; media scenes use the megakernel paths"
+    assert len(bake.sph_nodes) == 0, \
+        "hit kernel uses the dense sphere loop (sphere-BVH scenes route " \
+        "through the megakernel)"
+    n_sphere_rows = len(bake.sphere_table)
+    n_hit_nodes = len(bake.hit_nodes)
+    rows_per_leaf = bake.hit_rows_per_leaf
+
+    def kernel(sph_ref, hnode_ref, geom_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+               alive_ref,
+               pk_ref, px_ref, py_ref, pz_ref, cu_ref, cv_ref,
+               nx_ref, ny_ref, nz_ref, sl_ref):
+        shape = (sub, LANES)
+        zeros = jnp.zeros(shape)
+        pk_ref[...] = jnp.zeros(shape, jnp.int32)
+        for r in (px_ref, py_ref, pz_ref, cu_ref, cv_ref,
+                  nx_ref, ny_ref, nz_ref, sl_ref):
+            r[...] = zeros
+        alive0 = alive_ref[:] > 0.5
+
+        @pl.when(jnp.any(alive0))
+        def _():
+            ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+            dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+            tm = tm_ref[:]
+
+            # ---- non-triangle candidates (lean carry: t, n, mat, uv) ----
+            t2 = jnp.full(shape, BIG)
+            nx = jnp.zeros(shape)
+            ny = jnp.zeros(shape)
+            nz = jnp.zeros(shape)
+            mat = jnp.zeros(shape, jnp.int32)
+            uu = jnp.zeros(shape)
+            vv = jnp.zeros(shape)
+            sphf = jnp.zeros(shape)
+
+            def take(better, t, nxx, nyy, nzz, m, u_, v_, sp_):
+                nonlocal t2, nx, ny, nz, mat, uu, vv, sphf
+                t2 = jnp.where(better, t, t2)
+                nx = jnp.where(better, nxx, nx)
+                ny = jnp.where(better, nyy, ny)
+                nz = jnp.where(better, nzz, nz)
+                mat = jnp.where(better, m, mat)
+                uu = jnp.where(better, u_, uu)
+                vv = jnp.where(better, v_, vv)
+                sphf = jnp.where(better, sp_, sphf)
+
+            for prim in bake.rects:
+                ax = prim["axis"]
+                o_k = (ox, oy, oz)[ax]
+                d_k = (dx, dy, dz)[ax]
+                d_safe = jnp.where(jnp.abs(d_k) < _EPS,
+                                   jnp.where(d_k >= 0, _EPS, -_EPS), d_k)
+                t = (prim["k"] - o_k) / d_safe
+                a_ax = 1 if ax == 0 else 0
+                b_ax = 1 if ax == 2 else 2
+                pa = (ox, oy, oz)[a_ax] + t * (dx, dy, dz)[a_ax]
+                pb = (ox, oy, oz)[b_ax] + t * (dx, dy, dz)[b_ax]
+                ok = ((t >= t_min) & (pa >= prim["a0"]) & (pa <= prim["a1"])
+                      & (pb >= prim["b0"]) & (pb <= prim["b1"]))
+                n3 = [0.0, 0.0, 0.0]
+                n3[ax] = 1.0
+                ru = (pa - prim["a0"]) / max(prim["a1"] - prim["a0"], _EPS)
+                rv = (pb - prim["b0"]) / max(prim["b1"] - prim["b0"], _EPS)
+                take(ok & (t < t2), t, jnp.full(shape, n3[0]),
+                     jnp.full(shape, n3[1]), jnp.full(shape, n3[2]),
+                     prim["mat"], ru, rv, 0.0)
+
+            for prim in bake.boxes:
+                c, s = prim["cos"], prim["sin"]
+                offx, offy, offz = prim["off"]
+                ox_t = ox - offx
+                oy_t = oy - offy
+                oz_t = oz - offz
+                ox2 = c * ox_t - s * oz_t
+                oz2 = s * ox_t + c * oz_t
+                dx2 = c * dx - s * dz
+                dz2 = s * dx + c * dz
+                lo, hi = prim["bmin"], prim["bmax"]
+
+                def inv(v):
+                    return 1.0 / jnp.where(jnp.abs(v) < _EPS,
+                                           jnp.where(v >= 0, _EPS, -_EPS), v)
+
+                ivx, ivy, ivz = inv(dx2), inv(dy), inv(dz2)
+                tx0 = (lo[0] - ox2) * ivx
+                tx1 = (hi[0] - ox2) * ivx
+                ty0 = (lo[1] - oy_t) * ivy
+                ty1 = (hi[1] - oy_t) * ivy
+                tz0 = (lo[2] - oz2) * ivz
+                tz1 = (hi[2] - oz2) * ivz
+                tnx = jnp.minimum(tx0, tx1)
+                tny = jnp.minimum(ty0, ty1)
+                tnz = jnp.minimum(tz0, tz1)
+                tfx = jnp.maximum(tx0, tx1)
+                tfy = jnp.maximum(ty0, ty1)
+                tfz = jnp.maximum(tz0, tz1)
+                tn = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+                tf = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+                hit_iv = tf > jnp.maximum(tn, 0.0)
+                t = jnp.where(tn >= t_min, tn, tf)
+                ok = hit_iv & (t >= t_min)
+                is_x = (t == tnx) | (t == tfx)
+                is_y = (t == tny) | (t == tfy)
+                sx = jnp.where(dx2 >= 0, -1.0, 1.0)
+                sy = jnp.where(dy >= 0, -1.0, 1.0)
+                sz = jnp.where(dz2 >= 0, -1.0, 1.0)
+                exiting = t == tf
+                sx = jnp.where(exiting, -sx, sx)
+                sy = jnp.where(exiting, -sy, sy)
+                sz = jnp.where(exiting, -sz, sz)
+                nobj_x = jnp.where(is_x, sx, 0.0)
+                nobj_y = jnp.where(~is_x & is_y, sy, 0.0)
+                nobj_z = jnp.where(~is_x & ~is_y, sz, 0.0)
+                nwx = c * nobj_x + s * nobj_z
+                nwz = -s * nobj_x + c * nobj_z
+                # per-face uv like the reference's six rects (box.h:14-27;
+                # mirrors engine.intersect._box_record)
+                pxo = ox2 + t * dx2
+                pyo = oy_t + t * dy
+                pzo = oz2 + t * dz2
+                ex = max(hi[0] - lo[0], _EPS)
+                ey = max(hi[1] - lo[1], _EPS)
+                ez = max(hi[2] - lo[2], _EPS)
+                ua = (pxo - lo[0]) / ex
+                ub_ = (pyo - lo[1]) / ey
+                uc = (pzo - lo[2]) / ez
+                bu = jnp.where(is_x, ub_, ua)
+                bv = jnp.where(is_x | is_y, uc, ub_)
+                take(ok & (t < t2), t, nwx, nobj_y, nwz, prim["mat"],
+                     bu, bv, 0.0)
+
+            for row in range(n_sphere_rows):
+                c0x = sph_ref[row, 0]
+                c0y = sph_ref[row, 1]
+                c0z = sph_ref[row, 2]
+                c1x = sph_ref[row, 3]
+                c1y = sph_ref[row, 4]
+                c1z = sph_ref[row, 5]
+                tt0 = sph_ref[row, 6]
+                tt1 = sph_ref[row, 7]
+                rad = sph_ref[row, 8]
+                m_id = sph_ref[row, _SPH_MAT]
+                uoff = sph_ref[row, _SPH_UOFF]
+                denom = jnp.where(jnp.abs(tt1 - tt0) < 1e-12, 1.0, tt1 - tt0)
+                frac = (tm - tt0) / denom
+                cx = c0x + frac * (c1x - c0x)
+                cy = c0y + frac * (c1y - c0y)
+                cz = c0z + frac * (c1z - c0z)
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                a = dx * dx + dy * dy + dz * dz
+                hb = ocx * dx + ocy * dy + ocz * dz
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                disc = hb * hb - a * cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                inv_a = 1.0 / jnp.maximum(a, _EPS)
+                near = (-hb - sq) * inv_a
+                far = (-hb + sq) * inv_a
+                has = (disc > 0.0) & (jnp.abs(rad) > 0.0)
+                t = jnp.where(has & (near >= t_min), near,
+                              jnp.where(has & (far >= t_min), far, BIG))
+                better = t < t2
+                px = ox + t * dx
+                py = oy + t * dy
+                pz = oz + t * dz
+                inv_r = 1.0 / jnp.where(jnp.abs(rad) < _EPS, 1.0, rad)
+                take(better, t, (px - cx) * inv_r, (py - cy) * inv_r,
+                     (pz - cz) * inv_r, m_id.astype(jnp.int32),
+                     uoff + zeros, zeros, 1.0)
+
+            # ---- triangle tier: packet walk of the packed-geometry BVH ----
+            t1 = jnp.full(shape, BIG)
+            slotf = jnp.zeros(shape)
+            ub_c = jnp.zeros(shape)
+            vb_c = jnp.zeros(shape)
+            if n_hit_nodes > 0:
+                def inv_safe(v):
+                    return 1.0 / jnp.where(jnp.abs(v) < _EPS,
+                                           jnp.where(v >= 0, _EPS, -_EPS), v)
+
+                ivx = inv_safe(dx)
+                ivy = inv_safe(dy)
+                ivz = inv_safe(dz)
+                # the tile's majority direction octant picks which of the 8
+                # near-first threadings to follow (the driver sorts rays by
+                # octant, so packets are octant-pure; a mixed packet follows
+                # the majority's ordering, which only costs pruning)
+                oct_t = (((jnp.sum(dx) < 0).astype(jnp.int32) << 2)
+                         | ((jnp.sum(dy) < 0).astype(jnp.int32) << 1)
+                         | (jnp.sum(dz) < 0).astype(jnp.int32))
+
+                import os as _os
+                _dbg = _os.environ.get("RT_HIT_DEBUG", "")
+
+                def leaf(rstart, box_mask, carry):
+                    if _dbg == "nodes":      # walk only (perf debug)
+                        return carry
+                    rows = geom_ref[pl.ds(rstart, rows_per_leaf), :]
+                    base_slot = rstart.astype(jnp.float32) * float(_HIT_PACK)
+                    # candidates are computed INDEPENDENTLY and min-combined
+                    # as a binary tree: a serial where-chain makes every
+                    # candidate wait on the previous one's select latency
+                    # (the VPU serial-chain bound, docs/PERF.md roofline);
+                    # the tree keeps ~leaf_k tests in flight
+                    cands = [carry]
+                    for kk in range(rows_per_leaf * _HIT_PACK):
+                        rr = kk // _HIT_PACK
+                        cc = (kk % _HIT_PACK) * 9
+                        v0x = rows[rr, cc + 0]
+                        v0y = rows[rr, cc + 1]
+                        v0z = rows[rr, cc + 2]
+                        e1x = rows[rr, cc + 3]
+                        e1y = rows[rr, cc + 4]
+                        e1z = rows[rr, cc + 5]
+                        e2x = rows[rr, cc + 6]
+                        e2y = rows[rr, cc + 7]
+                        e2z = rows[rr, cc + 8]
+                        hx = dy * e2z - dz * e2y
+                        hy = dz * e2x - dx * e2z
+                        hz = dx * e2y - dy * e2x
+                        a = e1x * hx + e1y * hy + e1z * hz
+                        f = 1.0 / jnp.where(jnp.abs(a) < 1e-7, 1e-7, a)
+                        sx = ox - v0x
+                        sy = oy - v0y
+                        sz = oz - v0z
+                        ub = f * (sx * hx + sy * hy + sz * hz)
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        vb = f * (dx * qx + dy * qy + dz * qz)
+                        t = f * (e2x * qx + e2y * qy + e2z * qz)
+                        ok = (box_mask
+                              & (jnp.abs(a) > 1e-7)
+                              & (ub >= 0.0) & (ub <= 1.0)
+                              & (vb >= 0.0) & (ub + vb <= 1.0)
+                              & (t >= t_min))
+                        cands.append((jnp.where(ok, t, BIG),
+                                      base_slot + float(kk), ub, vb))
+
+                    while len(cands) > 1:
+                        nxt = []
+                        for i in range(0, len(cands) - 1, 2):
+                            ta, sa, ua, va = cands[i]
+                            tb, sb, ubb, vbb = cands[i + 1]
+                            bet = tb < ta
+                            nxt.append((jnp.where(bet, tb, ta),
+                                        jnp.where(bet, sb, sa),
+                                        jnp.where(bet, ubb, ua),
+                                        jnp.where(bet, vbb, va)))
+                        if len(cands) % 2:
+                            nxt.append(cands[-1])
+                        cands = nxt
+                    return cands[0]
+
+                def wcond(state):
+                    return state[0] >= 0
+
+                def wbody(state):
+                    node = state[0]
+                    carry = state[1:]
+                    # whole node row in ONE dynamic-sublane vector load
+                    # (bounds | start | 8 octant link pairs); static-lane
+                    # extracts replace nine scalar VMEM loads
+                    nrow = hnode_ref[pl.ds(node, 1), :]
+                    tx0 = (nrow[0, 0] - ox) * ivx
+                    ty0 = (nrow[0, 1] - oy) * ivy
+                    tz0 = (nrow[0, 2] - oz) * ivz
+                    tx1 = (nrow[0, 3] - ox) * ivx
+                    ty1 = (nrow[0, 4] - oy) * ivy
+                    tz1 = (nrow[0, 5] - oz) * ivz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1))
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+                    # prune by the non-tri closest hit too (t2 is fixed
+                    # during the walk — tighter than BIG from the start)
+                    limit = jnp.minimum(carry[0], t2)
+                    hit_box = (tf >= jnp.maximum(tn, t_min)) & (tn <= limit)
+                    any_hit = jnp.any(hit_box)
+                    rstart = nrow[0, 6].astype(jnp.int32)
+                    carry = jax.lax.cond(
+                        any_hit & (rstart >= 0),
+                        lambda c: leaf(rstart, hit_box, c),
+                        lambda c: c, carry)
+
+                    def pick(col0):
+                        r = nrow[0, col0]
+                        for o_ in range(1, 8):
+                            r = jnp.where(oct_t == o_, nrow[0, col0 + 2 * o_],
+                                          r)
+                        return r.astype(jnp.int32)
+
+                    nxt = jnp.where(any_hit, pick(7), pick(8))
+                    return (nxt, *carry)
+
+                out = jax.lax.while_loop(
+                    wcond, wbody, (jnp.int32(0), t1, slotf, ub_c, vb_c))
+                t1, slotf, ub_c, vb_c = out[1:]
+
+            # ---- merge + finalize -------------------------------------
+            tri_win = t1 < t2
+            t_best = jnp.where(tri_win, t1, t2)
+            hit = alive0 & (t_best < BIG * 0.5)
+            miss = alive0 & ~(t_best < BIG * 0.5)
+
+            # sphere uv (polynomial atan2/acos) for sphere winners, from
+            # the pre-flip outward normal (get_sphere_uv, sphere.h:19-32)
+            sph_win = ~tri_win & (sphf > 0.5)
+            if n_sphere_rows > 0:
+                ncy = jnp.clip(-ny, -1.0, 1.0)
+                theta = _acos_poly(ncy)
+                phi = _atan2_poly(-nz, nx) + math.pi
+                su = (phi * (1.0 / (2.0 * math.pi)) + uu) % 1.0
+                sv = theta * (1.0 / math.pi)
+                uu = jnp.where(sph_win, su, uu)
+                vv = jnp.where(sph_win, sv, vv)
+
+            # set_face_normal for the non-tri winner (tri winners resolve
+            # outside the kernel, where vertex normals live)
+            front = (dx * nx + dy * ny + dz * nz) < 0.0
+            flip = jnp.where(front, 1.0, -1.0)
+            nlen = jax.lax.rsqrt(
+                jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+            nx = nx * flip * nlen
+            ny = ny * flip * nlen
+            nz = nz * flip * nlen
+
+            pk_ref[...] = jnp.where(
+                hit | miss,
+                (mat
+                 | (hit.astype(jnp.int32) << 16)
+                 | (miss.astype(jnp.int32) << 18)
+                 | (front.astype(jnp.int32) << 19)
+                 | (tri_win.astype(jnp.int32) << 20)
+                 | (sph_win.astype(jnp.int32) << 21)),
+                0)
+            px_ref[...] = ox + t_best * dx
+            py_ref[...] = oy + t_best * dy
+            pz_ref[...] = oz + t_best * dz
+            cu_ref[...] = jnp.where(tri_win, ub_c, uu)
+            cv_ref[...] = jnp.where(tri_win, vb_c, vv)
+            nx_ref[...] = nx
+            ny_ref[...] = ny
+            nz_ref[...] = nz
+            sl_ref[...] = slotf
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bake_key", "t_min",
+                                             "interpret", "sub"))
+def _run_hit(bake_key, sph_table, hit_nodes, tri_geom,
+             ox, oy, oz, dx, dy, dz, tm, alive,
+             t_min, interpret, sub=STEP_SUB):
+    bake = _BAKES[bake_key]
+    rows = ox.shape[0]
+    kernel = _make_hit_kernel(bake, t_min, sub)
+    ray_spec = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def whole(a):
+        return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // sub,),
+        in_specs=[whole(sph_table), whole(hit_nodes), whole(tri_geom),
+                  *([ray_spec] * 8)],
+        out_specs=[ray_spec] * 10,
+        out_shape=([jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]
+                   + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 9),
+        interpret=interpret,
+    )(sph_table, hit_nodes, tri_geom, ox, oy, oz, dx, dy, dz, tm, alive)
     return out
 
 
@@ -1630,6 +2185,19 @@ class PallasTracer:
         self.tri_nodes = jnp.asarray(fused)
         self.n_tri_nodes = len(self.bake.tri_nodes)
         self.n_sph_nodes = len(self.bake.sph_nodes)
+        # hit-tier arrays (the pure closest-hit kernel, _make_hit_kernel)
+        self.tri_geom = (jnp.asarray(self.bake.tri_geom)
+                         if len(self.bake.tri_geom)
+                         else jnp.zeros((1, LANES), jnp.float32))
+        self.hit_nodes = (jnp.asarray(self.bake.hit_nodes)
+                          if len(self.bake.hit_nodes)
+                          else jnp.full((1, 23), -1.0, jnp.float32))
+        self.tri_perm = (jnp.asarray(self.bake.tri_perm)
+                         if len(self.bake.tri_perm)
+                         else jnp.full((1,), -1, jnp.int32))
+        self.supports_hit = (not self.bake.sphere_media
+                             and not self.bake.box_media
+                             and self.n_sph_nodes == 0)
         # world AABB for the sorted-wavefront driver's morton keys: the
         # TRIANGLE bounds when a mesh exists (a huge ground sphere would
         # otherwise stretch the quantization grid until the mesh collapses
@@ -1730,6 +2298,36 @@ class PallasTracer:
             max_depth=max_depth, t_min=t_min, interpret=interpret,
             record=True, shade=shade, need_p=self.need_p,
             need_uv=self.need_uv, cam=cam, pix_base=pb, rows=rows)
+
+    def hit(self, o, d, tm, alive, t_min=0.001, sub=STEP_SUB):
+        """ONE closest-hit query via the pure hit kernel (no shading, no
+        scatter, no RNG) — the wavefront driver's intersector.
+
+        Returns (packed (N,) i32, p (N, 3), u, v, normal (N, 3), slot (N,))
+        — see `_make_hit_kernel` for the field semantics.  Requires
+        `supports_hit` (no media, dense sphere loop)."""
+        assert self.supports_hit
+        interpret = jax.default_backend() != "tpu"
+        n = o.shape[0]
+        tile = sub * LANES
+        rows = -(-n // tile) * sub
+        pad = rows * LANES - n
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            tm = jnp.concatenate([tm, jnp.zeros(pad, tm.dtype)])
+            alive = jnp.concatenate([alive, jnp.zeros(pad, bool)])
+        args = [a.reshape(rows, LANES) for a in
+                (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tm,
+                 alive.astype(jnp.float32))]
+        out = _run_hit(self.key, self.sph_table, self.hit_nodes,
+                       self.tri_geom, *args, t_min=t_min,
+                       interpret=interpret, sub=sub)
+        flat = [a.reshape(-1)[:n] for a in out]
+        packed = flat[0]
+        p = jnp.stack(flat[1:4], axis=-1)
+        normal = jnp.stack(flat[6:9], axis=-1)
+        return packed, p, flat[4], flat[5], normal, flat[9]
 
     def step(self, o, d, tm, alive, seed, t_min=0.001):
         """ONE bounce for the sorted-wavefront driver (engine/wavefront.py).

@@ -112,11 +112,17 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
         on = jax.default_backend() == "tpu" or engine == "pallas"
         if on and pallas_trace.supports_scene(scene):
             tracer = pallas_trace.PallasTracer(scene)
-            if tracer.bake.tri_stream and tracer.supports_hit:
-                # 100k-triangle class: bounce-synchronous sorted wavefront
-                # (per-bounce ray reordering keeps the packet walk coherent;
-                # the full-depth megakernel diverges to the whole tree —
-                # docs/PERF.md round-3 measurement)
+            # sorted-wavefront routing: (a) 100k-triangle class — per-bounce
+            # ray reordering keeps the packet walk coherent where the
+            # full-depth megakernel diverges to the whole tree (docs/PERF.md
+            # round-3 measurement); (b) image-textured scenes WITH russian
+            # roulette — the wavefront owns the throughput in XLA, so RR is
+            # exact there, while the record-mode walk has no in-kernel
+            # throughput to roulette (VERDICT r3 weak #4)
+            want_wavefront = tracer.bake.tri_stream or (
+                settings.rr_start > 0
+                and not pallas_trace.supports_forward(scene))
+            if want_wavefront and tracer.supports_hit:
                 from .wavefront import compile_wavefront_renderer
 
                 return compile_wavefront_renderer(scene, camera, settings,

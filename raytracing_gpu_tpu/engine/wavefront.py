@@ -161,7 +161,9 @@ def compile_wavefront_renderer(
             # integrator.trace's russian roulette, wavefront edition: the
             # throughput lives in XLA, so image-textured scenes roulette too
             p_s = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
-            do_rr = depth >= rr_start
+            # jnp bool even when depth is the python-int peeled bounce 0
+            # (python `~False` is -2 and would silently int-ify the masks)
+            do_rr = jnp.greater_equal(depth, rr_start)
             survive = ~do_rr | (rng.uniform(k_rr, (thr.shape[0],)) < p_s)
             scale = jnp.where(do_rr & survive, 1.0 / p_s, 1.0)
             thr = jnp.where(cont[:, None], thr * scale[:, None], thr)

@@ -310,3 +310,24 @@ class TestBigScene1EngineParity:
         assert hit_k.sum() > 500
         np.testing.assert_array_equal((packed & 0xFFFF)[hit_k],
                                       np.asarray(ref.mat_id)[hit_k])
+
+    def test_wavefront_rr_statistical_parity(self):
+        """RR on an image-textured scene through the wavefront driver (the
+        record walk cannot roulette — VERDICT r3): at rr_start=3 the
+        estimator must stay unbiased vs full depth."""
+        from raytracing_gpu_tpu import RenderSettings
+        from raytracing_gpu_tpu.engine.wavefront import \
+            compile_wavefront_renderer
+
+        sd = scenes.get("door")
+        key = jax.random.PRNGKey(4)
+        outs = {}
+        for rr in (0, 3):
+            st = RenderSettings(image_width=48, aspect_ratio=sd.aspect,
+                                spp_per_chunk=8, num_chunks=1, max_depth=8,
+                                ray_batch=1296, rr_start=rr)
+            npix = st.num_pixels
+            outs[rr] = (np.asarray(compile_wavefront_renderer(
+                sd.scene, sd.camera, st)(key))[:npix] / 8)
+        a, b = outs[0].mean(), outs[3].mean()
+        assert abs(a - b) < 0.05 * a + 2e-3, (a, b)

@@ -747,7 +747,7 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                  record: bool = False, need_p: bool = True,
                  need_uv: bool = False, shade: bool | None = None,
                  cam: tuple | None = None, rr_start: int = 0,
-                 step: bool = False, sub: int = SUB):
+                 sub: int = SUB):
     """Build the kernel function with the scene baked in.
 
     record=False: radiance outputs (forward rendering).
@@ -777,13 +777,7 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
     the subtree their rays touch; there are no vector gathers (Mosaic has
     none).
 
-    step=True: ONE bounce only (record semantics with max_depth=1), plus an
-    ALIVE input plane after the ray planes and six scattered-ray output
-    planes after the record planes.  An all-dead tile skips the entire walk
-    (one vector any() + pass-through stores) — with the driver sorting dead
-    rays last (engine/wavefront.py), terminated rays cost ~nothing.  `sub`
-    shrinks the packet (default 8 rows = 1024 rays in step mode): smaller
-    packets keep the walked subtree union tight under sorted-coherent rays.
+    `sub` sets the tile's sublane rows (grid = rows / sub).
     """
     if shade is None:
         shade = not record
@@ -813,9 +807,6 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
         else:
             pix_ref = tail[0]
             rest = tail[1:]
-        if step:
-            alive_ref = rest[0]
-            rest = rest[1:]
         if tri_stream:
             tri_scratch, tri_sem = rest[-2], rest[-1]
             out_refs = rest[:-2]
@@ -831,9 +822,6 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 px_ref, py_ref, pz_ref = next(it), next(it), next(it)
             if need_uv:
                 cu_ref, cv_ref = next(it), next(it)
-        if step:
-            ray_out_refs = (next(it), next(it), next(it),
-                            next(it), next(it), next(it))
         shape = (sub, LANES)
         # per-lane RNG counter base: seed mixed with the global lane id
         row_ids = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
@@ -1548,30 +1536,6 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                 tm0 = jnp.full(shape, ct0)
             rays0 = (ox0, oy0, oz0, dx0, dy0, dz0, tm0)
 
-        if step:
-            # single-bounce mode: run `bounce` once for tiles with any live
-            # lane; all-dead tiles (the sorted driver packs terminated rays
-            # last) pay one vector any() + pass-through stores.  p/uv planes
-            # are pre-zeroed because a skipped tile's phase-2 shade would
-            # otherwise read garbage VMEM through mask-multiply algebra.
-            alive0 = alive_ref[:]
-            for r in (px_ref, py_ref, pz_ref, cu_ref, cv_ref):
-                if r is not None:
-                    r[...] = jnp.zeros(r.shape, jnp.float32)
-            for r, src in zip(ray_out_refs, rays0[:6]):
-                r[:] = src
-            state = (*rays0, ones, ones, ones, zeros, zeros, zeros,
-                     jnp.where(alive0 > 0.5, ones, zeros))
-
-            @pl.when(jnp.any(alive0 > 0.5))
-            def _():
-                # static bounce index 0: the record store indexes pl.ds(0, 1)
-                # (a traced index inside the when-region fails to lower)
-                st = bounce(0, state)
-                for r, v in zip(ray_out_refs, st[:6]):
-                    r[:] = v
-            return
-
         state = (*rays0, ones, ones, ones, zeros, zeros, zeros, ones)
 
         if record and max_depth <= 16:
@@ -1608,13 +1572,13 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
 @functools.partial(jax.jit, static_argnames=("bake_key", "max_depth", "t_min",
                                              "interpret", "record", "need_p",
                                              "need_uv", "shade", "cam", "rows",
-                                             "rr_start", "step", "sub"))
+                                             "rr_start", "sub"))
 def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
          tri_table, tri_nodes,
          ox, oy, oz, dx, dy, dz, tm,
          max_depth, t_min, interpret, record=False, need_p=True,
          need_uv=False, shade=None, cam=None, pix_base=None, rows=None,
-         rr_start=0, step=False, sub=SUB, alive=None):
+         rr_start=0, sub=SUB):
     bake = _BAKES[bake_key]
     if rows is None:
         rows = ox.shape[0]
@@ -1624,7 +1588,7 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
     kernel = _make_kernel(bake, max_depth, t_min,
                           record=record, need_p=need_p, need_uv=need_uv,
                           shade=shade, cam=cam, rr_start=rr_start,
-                          step=step, sub=sub)
+                          sub=sub)
     ray_spec = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_specs = []
@@ -1642,10 +1606,6 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
             [jax.ShapeDtypeStruct(rec_shape, jnp.int32)]
             + [jax.ShapeDtypeStruct(rec_shape, jnp.float32)] * (n_rec - 1)
         )
-    if step:
-        out_specs += [ray_spec] * 6
-        out_shape += [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 6
-
     def whole(a):
         return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
                             memory_space=pltpu.VMEM)
@@ -1666,9 +1626,6 @@ def _run(bake_key, seed, sph_table, sph_nodes, sph_links, sph_start,
     else:
         tail_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # pix_base (1,)
         tail_args = (pix_base,)
-    if step:
-        tail_specs += [ray_spec]
-        tail_args += (alive,)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -2328,47 +2285,6 @@ class PallasTracer:
         p = jnp.stack(flat[1:4], axis=-1)
         normal = jnp.stack(flat[6:9], axis=-1)
         return packed, p, flat[4], flat[5], normal, flat[9]
-
-    def step(self, o, d, tm, alive, seed, t_min=0.001):
-        """ONE bounce for the sorted-wavefront driver (engine/wavefront.py).
-
-        o/d: (N, 3) rays (N a multiple of STEP_SUB*LANES or padded here),
-        tm: (N,) ray times, alive: (N,) bool, seed: i32 scalar derived by
-        `wave_seed` ARITHMETIC (the SMEM-scalar rules in trace_pixels apply).
-
-        Returns (packed (N,) i32, *extra, new_o (N, 3), new_d (N, 3)) where
-        packed/extra follow walk_packed's layout (mat | hit<<16 | cont<<17 |
-        miss<<18; extra = p xyz when need_p, uv when need_uv) and new_o/new_d
-        are the in-kernel scattered rays (pass-through where not hit).
-        All-dead (STEP_SUB, 128) tiles skip the walk entirely — the driver
-        sorts terminated rays last, so they cost one any() reduction.
-        """
-        interpret = jax.default_backend() != "tpu"
-        n = o.shape[0]
-        tile = STEP_SUB * LANES
-        rows = -(-n // tile) * STEP_SUB
-        pad = rows * LANES - n
-        if pad:
-            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
-            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
-            tm = jnp.concatenate([tm, jnp.zeros(pad, tm.dtype)])
-            alive = jnp.concatenate([alive, jnp.zeros(pad, bool)])
-        args = [a.reshape(rows, LANES) for a in
-                (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tm)]
-        alive_plane = alive.astype(jnp.float32).reshape(rows, LANES)
-        seed = jnp.asarray(seed, jnp.int32).reshape(1)
-        out = _run(
-            self.key, seed, self.sph_table, self.sph_nodes, self.sph_links,
-            self.sph_start, self.tri_table, self.tri_nodes,
-            *args, max_depth=1, t_min=t_min, interpret=interpret,
-            record=True, shade=False, need_p=self.need_p,
-            need_uv=self.need_uv, step=True, sub=STEP_SUB, alive=alive_plane)
-        n_rec = 1 + (3 if self.need_p else 0) + (2 if self.need_uv else 0)
-        rec = [a.reshape(-1)[:n] for a in out[:n_rec]]
-        rays = [a.reshape(-1)[:n] for a in out[n_rec:]]
-        new_o = jnp.stack(rays[0:3], axis=-1)
-        new_d = jnp.stack(rays[3:6], axis=-1)
-        return (*rec, new_o, new_d)
 
     def fused_packed(self, o, d, tm, key, max_depth=50, t_min=0.001):
         """Shade AND record in one kernel pass: (radiance (n, 3), planes).

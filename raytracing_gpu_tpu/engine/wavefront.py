@@ -6,7 +6,7 @@ union approaches the whole tree — the round-3 measurement was 0.46 Mrays/s
 on the 100,352-triangle backpack vs 811 on Cornell (docs/PERF.md).  The
 TPU-native fix is bounce-synchronous reordering: keep the bounce loop in
 XLA and, between bounces, SORT the wave by (terminated, direction octant,
-origin morton) so every (8, 128) packet the closest-hit kernel
+origin morton) so every (STEP_SUB, 128) = (32, 128) packet the closest-hit kernel
 (`ops.pallas_trace.PallasTracer.hit`) sees is coherent — and dead rays
 compact into all-dead tiles the kernel skips for the cost of one any().
 

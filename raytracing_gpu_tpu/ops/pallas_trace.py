@@ -47,6 +47,8 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
+import warnings as _warnings
 from typing import NamedTuple
 
 import jax
@@ -66,6 +68,19 @@ STEP_SUB = 32     # hit/step packet rows: (32, 128) = 4096 rays.  v5e sweep
 LANES = 128
 TILE = SUB * LANES
 _EPS = 1e-12
+
+# Perf-debug tiers (tools/roofline.py decomposition ONLY): when set, the
+# kernels skip DMA and/or candidate testing and renders are WRONG by design.
+# Read once at import (jit caching ignores later changes anyway) and warn
+# loudly so a stray env var cannot silently corrupt normal renders.
+_TRI_DEBUG = _os.environ.get("RT_TRI_DEBUG", "")
+_HIT_DEBUG = _os.environ.get("RT_HIT_DEBUG", "")
+if _TRI_DEBUG or _HIT_DEBUG:
+    _warnings.warn(
+        f"pallas_trace PERF-DEBUG tier active (RT_TRI_DEBUG={_TRI_DEBUG!r}, "
+        f"RT_HIT_DEBUG={_HIT_DEBUG!r}): kernels skip work and renders are "
+        "INCORRECT. Unset these unless decomposing kernel cost.",
+        stacklevel=2)
 
 # carried shading state kinds match scene.types material tags
 
@@ -458,7 +473,7 @@ def _bake_triangles(scene):
     while True:
         bvh = bvh_mod.build(bmin[keep], bmax[keep], leaf_size=leaf_k)
         table, nodes, links, start = _leaf_contiguous(rows[keep], bvh, leaf_k)
-        node_bytes = _tri_vmem_bytes(0, len(nodes), "stream")
+        node_bytes = _tri_vmem_bytes(0, len(nodes), "stream", leaf_k=leaf_k)
         if node_bytes <= _TRI_VMEM_BUDGET or leaf_k >= 1024:
             break
         leaf_k *= 2
@@ -568,13 +583,15 @@ def _octant_links(bvh) -> np.ndarray:
     return out
 
 
-def _tri_vmem_bytes(n_table_rows: int, n_nodes: int, mode: str) -> int:
+def _tri_vmem_bytes(n_table_rows: int, n_nodes: int, mode: str,
+                    leaf_k: int = _TRI_STREAM_LEAF_K) -> int:
     """Estimated VMEM cost of the kernel's triangle-side arrays.
 
     Every row-major row lane-pads to 128 lanes (512 B); nodes/links/start
     fuse into ONE (M, 9) f32 array (512 B/node); streamed mode holds the
-    leaf scratch block instead of the table."""
-    scratch = _TRI_STREAM_LEAF_K * 512 if mode == "stream" else 0
+    leaf scratch block (leaf_k rows — escalation grows it, so the caller
+    must pass its candidate leaf_k) instead of the table."""
+    scratch = leaf_k * 512 if mode == "stream" else 0
     return (n_table_rows + n_nodes) * 512 + scratch
 
 
@@ -710,8 +727,8 @@ def _deferred_albedo(tex_kinds, texk, scale, c1r, c1g, c1b, c2r, c2g, c2b,
     bounce, not per candidate).  solid: c1.  checker: sign-of-sines select
     (texture.h:26-46).  perlin family: hash-gradient noise (scene/perlin.py).
     Unused families compile away (tex_kinds is the static bake-time set).
-    Shared by the forward megakernel and the fused-VJP backward kernel
-    (ops/pallas_grad.py), which must reproduce identical albedo values."""
+    The fused-VJP backward (engine/fused_diff.py's closed-form XLA adjoint)
+    reproduces identical albedo values from the recorded planes."""
     ar, ag, ab = c1r, c1g, c1b
     if st.TEX_CHECKER in tex_kinds:
         sines = (jnp.sin(scale * px) * jnp.sin(scale * py)
@@ -1175,8 +1192,7 @@ def _make_kernel(bake: SceneBake, max_depth: int, t_min: float,
                         read(_TRI_FUZZ), read(_TRI_IR), carry, uu, vv)
 
                 if tri_stream:
-                    import os as _os
-                    _dbg = _os.environ.get("RT_TRI_DEBUG", "")
+                    _dbg = _TRI_DEBUG
 
                     def tri_leaf(base, box_mask, carry):
                         if _dbg == "nodes":      # walk only (perf debug)
@@ -1860,8 +1876,7 @@ def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
                          | ((jnp.sum(dy) < 0).astype(jnp.int32) << 1)
                          | (jnp.sum(dz) < 0).astype(jnp.int32))
 
-                import os as _os
-                _dbg = _os.environ.get("RT_HIT_DEBUG", "")
+                _dbg = _HIT_DEBUG
 
                 def leaf(rstart, box_mask, carry):
                     if _dbg == "nodes":      # walk only (perf debug)
@@ -2152,9 +2167,17 @@ class PallasTracer:
         self.tri_perm = (jnp.asarray(self.bake.tri_perm)
                          if len(self.bake.tri_perm)
                          else jnp.full((1,), -1, jnp.int32))
+        # hit tier requires: no media, dense sphere loop, AND the packed
+        # bake actually fit VMEM — _bake_tri_packed's escalation loop caps
+        # at rows_per_leaf=64 even when still over budget, so an oversized
+        # mesh (~>300k tris) must fall back to the streamed megakernel walk
+        # instead of shipping a pallas_call that cannot fit in ~16 MB VMEM
+        hit_fits = ((self.tri_geom.shape[0] + self.hit_nodes.shape[0]) * 512
+                    <= _HIT_VMEM_BUDGET)
         self.supports_hit = (not self.bake.sphere_media
                              and not self.bake.box_media
-                             and self.n_sph_nodes == 0)
+                             and self.n_sph_nodes == 0
+                             and hit_fits)
         # world AABB for the sorted-wavefront driver's morton keys: the
         # TRIANGLE bounds when a mesh exists (a huge ground sphere would
         # otherwise stretch the quantization grid until the mesh collapses
@@ -2289,10 +2312,10 @@ class PallasTracer:
     def fused_packed(self, o, d, tm, key, max_depth=50, t_min=0.001):
         """Shade AND record in one kernel pass: (radiance (n, 3), planes).
 
-        The fused differentiable forward (ops/pallas_grad.py): radiance is
+        The fused differentiable forward (engine/fused_diff.py): radiance is
         the primal output, the raw TILE-PADDED record planes
-        ((D, rows, LANES) each) are the custom-VJP residual the Pallas
-        backward kernel consumes — they never round-trip through XLA autodiff.
+        ((D, rows, LANES) each) are the custom-VJP residual the closed-form
+        XLA adjoint consumes — they never round-trip through XLA autodiff.
         """
         interpret = jax.default_backend() != "tpu"
         n, seed, args = self._tile_args(o, d, tm, key)

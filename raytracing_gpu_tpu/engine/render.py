@@ -94,11 +94,21 @@ def chunk_sums(scene: Scene, camera: Camera, settings: RenderSettings,
 render_chunk = jax.jit(chunk_sums, static_argnames=("settings",))
 
 
+def _tag(chunk, name: str):
+    """Mark a compiled chunk with the engine that will run it (observable
+    routing: tests/test_routing.py pins the scene -> engine matrix, and the
+    CLI surfaces it)."""
+    chunk.engine_name = name
+    return chunk
+
+
 def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
                      engine: str = "auto") -> Callable[[jax.Array], jax.Array]:
     """Scene-specialized forward renderer: key -> (npix_pad, 3) sums.
 
-    The scene/camera are closed over and become XLA constants.
+    The scene/camera are closed over and become XLA constants.  The returned
+    callable carries `engine_name` in {"regen", "wavefront", "megakernel",
+    "record-walk", "xla"}.
 
     engine: "auto" uses the Pallas megakernel (ops/pallas_trace.py) when the
     scene's feature set is covered, else the XLA wavefront; "xla"/"pallas"
@@ -123,10 +133,24 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
                 settings.rr_start > 0
                 and not pallas_trace.supports_forward(scene))
             if want_wavefront and tracer.supports_hit:
-                from .wavefront import compile_wavefront_renderer
+                from .wavefront import (compile_regen_renderer,
+                                        compile_wavefront_renderer)
 
-                return compile_wavefront_renderer(scene, camera, settings,
-                                                  tracer=tracer)
+                # regen keeps the wave always-full (glue and kernel cost
+                # stop scaling with dead lanes), but its deposit ring is
+                # sized ~ (max_depth * ray_batch) / spp pixels — at low spp
+                # per chunk the ring approaches the framebuffer and the
+                # per-bounce deposit scatter dominates, so the
+                # bounce-synchronous driver (one scatter per wave) wins
+                if settings.spp_per_chunk >= 16:
+                    return _tag(compile_regen_renderer(scene, camera,
+                                                       settings,
+                                                       tracer=tracer),
+                                "regen")
+                return _tag(compile_wavefront_renderer(scene, camera,
+                                                       settings,
+                                                       tracer=tracer),
+                            "wavefront")
         if on and pallas_trace.supports_forward(scene):
             # fully in-kernel chunk: camera rays are generated inside the
             # megakernel from the wave's base pixel index (XLA-side ray
@@ -154,7 +178,7 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
                 rads = jax.lax.map(one, (s_idx, b_idx))
                 return rads.reshape(spp, nb, b, 3).sum(0).reshape(npix_pad, 3)
 
-            return chunk
+            return _tag(chunk, "megakernel")
         elif on and pallas_trace.supports_scene(scene):
             # image-textured scenes: kernel walk + XLA shade (the atlas
             # lives in XLA; the walk records mat_id/p/uv per bounce)
@@ -177,11 +201,13 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
         elif engine == "pallas":
             raise ValueError("scene not supported by the pallas megakernel")
 
+    name = "xla" if trace_fn is trace else "record-walk"
+
     @jax.jit
     def chunk(key):
         return chunk_sums(scene, camera, settings, key, trace_fn=trace_fn)
 
-    return chunk
+    return _tag(chunk, name)
 
 
 def compile_param_renderer(scene: Scene, camera: Camera,
@@ -225,12 +251,14 @@ def compile_param_renderer(scene: Scene, camera: Camera,
         elif engine == "pallas":
             raise ValueError("scene not supported by the pallas megakernel")
 
+    name = "xla" if trace_fn is trace_diff else "record-walk"
+
     @jax.jit
     def chunk(params, key):
         return chunk_sums(diff.set_params(scene, params), camera, settings, key,
                           trace_fn=trace_fn)
 
-    return chunk
+    return _tag(chunk, name)
 
 
 def render_linear(

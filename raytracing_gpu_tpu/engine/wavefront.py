@@ -71,6 +71,66 @@ def _sort_keys(o: Array, d: Array, alive: Array, lo, hi) -> Array:
     return (dead << 30) | (okt << 21) | morton
 
 
+def pack_attr_table(scene: Scene, tri_perm) -> Array:
+    """(S, 16) f32 per-SLOT winner-attribute table for `resolve_hit_packed`.
+
+    One host-side join of the triangle attribute columns, indexed by the hit
+    kernel's packed-table slot (tri_perm maps slot -> original triangle id):
+    n0 n1 n2 (replicated face normal cross(e2, e1) when the mesh has no
+    vertex normals, so the barycentric interpolation is the constant —
+    reference `triangle.h:165-174`) | uv0 uv1 uv2 | mat_id.  Collapses the
+    13 per-bounce attribute gathers of the round-4 resolve into ONE (N, 16)
+    row gather (13 separate 65k-gathers measured 2.7 ms vs 0.18 ms packed,
+    docs/PERF.md round 5)."""
+    tr = scene.triangles
+    n0 = np.asarray(tr.n0, np.float32)
+    n1 = np.asarray(tr.n1, np.float32)
+    n2 = np.asarray(tr.n2, np.float32)
+    has = np.asarray(tr.has_vn)[:, None]
+    face = np.cross(np.asarray(tr.e2, np.float32),
+                    np.asarray(tr.e1, np.float32))
+    attr = np.concatenate([
+        np.where(has, n0, face), np.where(has, n1, face),
+        np.where(has, n2, face),
+        np.asarray(tr.uv0, np.float32), np.asarray(tr.uv1, np.float32),
+        np.asarray(tr.uv2, np.float32),
+        np.asarray(tr.mat_id, np.float32)[:, None],
+    ], axis=1)                                  # (n_tri, 16)
+    perm = np.asarray(tri_perm)
+    out = attr[np.clip(perm, 0, len(attr) - 1)]
+    out[perm < 0] = 0.0
+    return jnp.asarray(out)
+
+
+def resolve_hit_packed(attr_slot: Array, packed: Array, p: Array, u: Array,
+                       v: Array, normal: Array, slot: Array,
+                       d: Array) -> HitRecord:
+    """`resolve_hit` with the precomputed slot-attribute table: one gather.
+
+    Semantics identical to `resolve_hit` (oracle-tested against it); only
+    the memory access pattern differs."""
+    hit = (packed & (1 << 16)) != 0
+    front_nt = (packed & (1 << 19)) != 0
+    is_tri = (packed & (1 << 20)) != 0
+    a = attr_slot[jnp.clip(slot.astype(jnp.int32), 0,
+                           attr_slot.shape[0] - 1)]
+    w0 = (1.0 - u - v)[:, None]
+    vert_n = w0 * a[:, 0:3] + u[:, None] * a[:, 3:6] + v[:, None] * a[:, 6:9]
+    front_t = vec.dot(d, vert_n) < 0.0
+    n_t = vec.unit(vec.where(front_t, vert_n, -vert_n))
+    uv_t = (w0 * a[:, 9:11] + u[:, None] * a[:, 11:13]
+            + v[:, None] * a[:, 13:15])
+    mat = jnp.where(is_tri, a[:, 15].astype(jnp.int32), packed & 0xFFFF)
+    return HitRecord(
+        hit=hit, t=jnp.zeros_like(u), p=p,
+        normal=vec.where(is_tri, n_t, normal),
+        front_face=jnp.where(is_tri, front_t, front_nt),
+        u=jnp.where(is_tri, uv_t[:, 0], u),
+        v=jnp.where(is_tri, uv_t[:, 1], v),
+        mat_id=mat,
+    )
+
+
 def resolve_hit(scene: Scene, tri_perm: Array, packed: Array, p: Array,
                 u: Array, v: Array, normal: Array, slot: Array,
                 d: Array) -> HitRecord:
@@ -110,38 +170,22 @@ def resolve_hit(scene: Scene, tri_perm: Array, packed: Array, p: Array,
     )
 
 
-def compile_wavefront_renderer(
-    scene: Scene, camera: Camera, settings: RenderSettings,
-    tracer=None,
-) -> Callable[[Array], Array]:
-    """Scene-specialized forward renderer: key -> (npix_pad, 3) sums.
+def make_trace_wave(scene: Scene, tracer, max_depth: int, t_min: float,
+                    rr_start: int = 0):
+    """Bounce-synchronous sorted-wavefront tracer for ONE ray wave:
+    (o, d, tm, key) -> (n, 3) radiance.
 
-    Drop-in for `engine.render.compile_renderer` on big-mesh scenes
-    (`tracer.bake.tri_stream` and `tracer.supports_hit`).  The estimator is
-    `engine.integrator.trace`'s (same scatter/shade code, XLA threefry keys);
-    only the intersector differs, so parity with the XLA engine is exact on
-    hits and statistical on radiance.
+    The core of `compile_wavefront_renderer`, factored out so the sharded
+    renderer (`parallel.render.compile_sharded_renderer`) can run the same
+    wavefront per device inside `shard_map` — each chip reorders and traces
+    only the rays it owns; no cross-device communication is needed because
+    the sort is a per-wave locality optimization, not a reduction.
     """
-    from ..ops import pallas_trace
-
-    if tracer is None:
-        tracer = pallas_trace.PallasTracer(scene)
-    assert tracer.supports_hit
-    h, w, npix, npix_pad, b, nb = _grid_geometry(settings)
-    spp = settings.spp_per_chunk
-    max_depth, t_min = settings.max_depth, settings.t_min
-    rr_start = settings.rr_start
     bg = jnp.asarray(np.asarray(scene.background), jnp.float32)
     lo = jnp.asarray(tracer.world_lo, jnp.float32)
     hi = lo + jnp.maximum(
         jnp.asarray(tracer.world_hi, jnp.float32) - lo, 1e-6)
-    tri_perm = tracer.tri_perm
-
-    flat = jnp.arange(npix_pad, dtype=jnp.int32)
-    rows_all = jnp.minimum(flat // w, h - 1).reshape(nb, b)
-    cols_all = jnp.minimum(flat % w, w - 1).reshape(nb, b)
-    inv_w = 1.0 / max(w - 1, 1)
-    inv_h = 1.0 / max(h - 1, 1)
+    attr_slot = pack_attr_table(scene, tracer.bake.tri_perm)
 
     def bounce_shade(o, d, tm, thr, rad, alive, kb, depth):
         """One kernel closest-hit + the XLA half of the bounce — the same
@@ -149,7 +193,7 @@ def compile_wavefront_renderer(
         k_scat, k_rr = jax.random.split(rng.fold(kb, depth))
         packed, p, u, v, normal, slot = tracer.hit(o, d, tm, alive,
                                                    t_min=t_min)
-        rec = resolve_hit(scene, tri_perm, packed, p, u, v, normal, slot, d)
+        rec = resolve_hit_packed(attr_slot, packed, p, u, v, normal, slot, d)
         miss = (packed & (1 << 18)) != 0   # alive & ~hit (kernel-masked)
         sc = materials_mod.scatter(scene, k_scat, d, rec.p, rec.normal,
                                    rec.front_face, rec.u, rec.v, rec.mat_id)
@@ -186,9 +230,17 @@ def compile_wavefront_renderer(
         def live_bounce(carry, depth):
             o, d, tm, thr, rad, alive, perm = carry
             order = jnp.argsort(_sort_keys(o, d, alive, lo, hi))
-            o, d = o[order], d[order]
-            tm, thr, rad = tm[order], thr[order], rad[order]
-            alive, perm = alive[order], perm[order]
+            # ONE packed (N, 16) gather instead of 13 per-plane gathers
+            # (measured 0.15 ms vs 2.7 ms per bounce on v5e — the round-4
+            # wavefront's single biggest glue cost, docs/PERF.md round 5)
+            pay = jnp.concatenate(
+                [o, d, tm[:, None], thr, rad,
+                 perm.astype(jnp.float32)[:, None],
+                 jnp.zeros((o.shape[0], 2), jnp.float32)], axis=1)[order]
+            o, d = pay[:, 0:3], pay[:, 3:6]
+            tm, thr, rad = pay[:, 6], pay[:, 7:10], pay[:, 10:13]
+            perm = pay[:, 13].astype(jnp.int32)
+            alive = alive[order]
             o, d, tm, thr, rad, alive = bounce_shade(
                 o, d, tm, thr, rad, alive, kb, depth)
             return (o, d, tm, thr, rad, alive, perm)
@@ -205,6 +257,38 @@ def compile_wavefront_renderer(
         rad, perm = carry[4], carry[6]
         # undo the accumulated permutation (one scatter per wave)
         return jnp.zeros((n, 3), jnp.float32).at[perm].set(rad)
+
+    return trace_wave
+
+
+def compile_wavefront_renderer(
+    scene: Scene, camera: Camera, settings: RenderSettings,
+    tracer=None,
+) -> Callable[[Array], Array]:
+    """Scene-specialized forward renderer: key -> (npix_pad, 3) sums.
+
+    Drop-in for `engine.render.compile_renderer` on big-mesh scenes
+    (`tracer.bake.tri_stream` and `tracer.supports_hit`).  The estimator is
+    `engine.integrator.trace`'s (same scatter/shade code, XLA threefry keys);
+    only the intersector differs, so parity with the XLA engine is exact on
+    hits and statistical on radiance.
+    """
+    from ..ops import pallas_trace
+
+    if tracer is None:
+        tracer = pallas_trace.PallasTracer(scene)
+    assert tracer.supports_hit
+    h, w, npix, npix_pad, b, nb = _grid_geometry(settings)
+    spp = settings.spp_per_chunk
+
+    trace_wave = make_trace_wave(scene, tracer, settings.max_depth,
+                                 settings.t_min, settings.rr_start)
+
+    flat = jnp.arange(npix_pad, dtype=jnp.int32)
+    rows_all = jnp.minimum(flat // w, h - 1).reshape(nb, b)
+    cols_all = jnp.minimum(flat % w, w - 1).reshape(nb, b)
+    inv_w = 1.0 / max(w - 1, 1)
+    inv_h = 1.0 / max(h - 1, 1)
 
     s_idx = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), nb)
     b_idx = jnp.tile(jnp.arange(nb, dtype=jnp.int32), spp)
@@ -226,5 +310,213 @@ def compile_wavefront_renderer(
 
         rads = jax.lax.map(one, (s_idx, b_idx))
         return rads.reshape(spp, nb, b, 3).sum(0).reshape(npix_pad, 3)
+
+    return chunk
+
+
+def _pow2_at_least(n: int) -> int:
+    return 1 << max(int(n - 1).bit_length(), 0)
+
+
+def compile_regen_renderer(
+    scene: Scene, camera: Camera, settings: RenderSettings,
+    tracer=None, debug_stats: bool = False, hit_sub: int | None = None,
+) -> Callable[[Array], Array]:
+    """Regenerative (persistent) wavefront: key -> (npix_pad, 3) sums.
+
+    The round-4 bounce-synchronous wavefront (`compile_wavefront_renderer`)
+    pays full-wave glue (sort, gathers, shade) at EVERY bounce even when 90%
+    of the wave has terminated, and its kernel waves decay to mostly-dead
+    tiles.  This driver instead keeps ONE always-nearly-full wave alive for
+    the whole chunk: rays that terminate deposit their radiance and their
+    lanes are immediately REFILLED with fresh camera rays from a sequential
+    pixel-major sample stream (ray s -> pixel s // spp) — the classic
+    path-regeneration wavefront, here shaped by two TPU constraints:
+
+    * static shapes: the wave never compacts; a per-bounce (terminated,
+      octant, morton) argsort moves dead lanes to the tail, where the refill
+      assigns them consecutive stream indices (so fresh rays enter
+      pixel-coherent and sorted);
+    * XLA scatter cost scales with the TARGET size (measured on v5e: 65k
+      adds into 524k rows = 2.65 ms vs 0.63 ms into 64k rows — VMEM fit),
+      so per-bounce radiance deposits go to a small power-of-two RING of
+      pixel rows.  Pixel-major stream order bounds the live pixel window:
+      the stream advances <= N/spp pixels per bounce and a ray lives
+      <= max_depth bounces, so a ring of (max_depth + 4) * N/spp rows can
+      never collide; rows older than max_depth bounces of stream progress
+      are final and DRAIN to the framebuffer in contiguous aligned block
+      copies (dynamic_update_slice, ~us) — never a big scatter.
+
+    Estimator identical to `compile_wavefront_renderer` (same scatter/shade
+    code, same per-bounce key folding); sample jitter keys differ (folded by
+    loop iteration, not sample index), so parity with other engines is
+    statistical, as between any two spp orderings.  Supports per-lane
+    russian roulette (depth rides the payload).
+
+    Reference analogue: `render.h:94-113` traces every sample to completion
+    in one thread; regeneration is how a vector machine gets the same
+    always-busy occupancy.
+    """
+    from ..ops import pallas_trace
+
+    if tracer is None:
+        tracer = pallas_trace.PallasTracer(scene)
+    assert tracer.supports_hit
+    h, w = settings.image_height, settings.image_width
+    npix = h * w
+    N = settings.ray_batch
+    spp = settings.spp_per_chunk
+    max_depth, t_min = settings.max_depth, settings.t_min
+    rr_start = settings.rr_start
+    bg = jnp.asarray(np.asarray(scene.background), jnp.float32)
+    lo = jnp.asarray(tracer.world_lo, jnp.float32)
+    hi = lo + jnp.maximum(
+        jnp.asarray(tracer.world_hi, jnp.float32) - lo, 1e-6)
+    attr_slot = pack_attr_table(scene, tracer.bake.tri_perm)
+
+    adv = -(-N // spp)                      # max pixel advance per bounce
+    ring_w = _pow2_at_least((max_depth + 4) * adv)
+    drain_k = ring_w // 16                  # aligned drain block (>= adv)
+    # the driver's chunk contract: output rows == _grid_geometry's npix_pad;
+    # but the stream only needs drain_k alignment — trace the smaller pad
+    # (the grid pads to whole 65k waves, ~9% wasted rays at 800x600) and
+    # zero-fill the output rows beyond it
+    _, _, _, npix_pad_out, _, _ = _grid_geometry(settings)
+    npix_pad = -(-npix // drain_k) * drain_k
+    total = npix_pad * spp                  # stream length (rays)
+    inv_w = 1.0 / max(w - 1, 1)
+    inv_h = 1.0 / max(h - 1, 1)
+
+    def step(carry):
+        (it, stream_next, drained, hist, key, fb, ring,
+         pay, alive) = carry
+        k_it = rng.fold(key, it)
+        k_jit, k_cam, k_scat, k_rr = jax.random.split(k_it, 4)
+
+        # 1. sort: dead lanes to the tail, live grouped (octant, morton).
+        #    ONE packed payload gather (13 separate gathers cost 2.7 ms).
+        o, d = pay[:, 0:3], pay[:, 3:6]
+        order = jnp.argsort(_sort_keys(o, d, alive, lo, hi))
+        pay = pay[order]
+        alive = alive[order]
+
+        # 2. refill the dead tail with consecutive stream rays
+        n_live = jnp.sum(alive.astype(jnp.int32))
+        lane = jnp.arange(N, dtype=jnp.int32)
+        s_idx = stream_next + (lane - n_live)
+        new = (~alive) & (s_idx < total) & (lane >= n_live)
+        pix_new = jnp.clip(s_idx // spp, 0, npix_pad - 1)
+        r = jnp.minimum(pix_new // w, h - 1)
+        c = jnp.minimum(pix_new % w, w - 1)
+        jit2 = rng.uniform(k_jit, (N, 2))
+        u = (c.astype(jnp.float32) + jit2[:, 0]) * inv_w
+        v = ((h - 1 - r).astype(jnp.float32) + jit2[:, 1]) * inv_h
+        o_n, d_n, tm_n = camera.get_rays(k_cam, u, v)
+        newf = new[:, None].astype(jnp.float32)
+        o = vec.where(new, o_n, pay[:, 0:3])
+        d = vec.where(new, d_n, pay[:, 3:6])
+        tm = jnp.where(new, tm_n, pay[:, 6])
+        thr = (1.0 - newf) * pay[:, 7:10] + newf
+        rad = (1.0 - newf) * pay[:, 10:13]
+        pix = jnp.where(new, pix_new, pay[:, 13].astype(jnp.int32))
+        depth = jnp.where(new, 0, pay[:, 14].astype(jnp.int32))
+        alive = alive | new
+        n_refill = jnp.minimum(jnp.maximum(N - n_live, 0),
+                               total - stream_next)
+
+        # 3. one closest-hit + the XLA half of the bounce (identical update
+        #    to compile_wavefront_renderer.bounce_shade)
+        packed, p, uu, vv, normal, slot = tracer.hit(
+            o, d, tm, alive, t_min=t_min,
+            **({} if hit_sub is None else {"sub": hit_sub}))
+        rec = resolve_hit_packed(attr_slot, packed, p, uu, vv, normal,
+                                 slot, d)
+        miss = (packed & (1 << 18)) != 0
+        sc = materials_mod.scatter(scene, k_scat, d, rec.p, rec.normal,
+                                   rec.front_face, rec.u, rec.v, rec.mat_id)
+        rad = rad + jnp.where(miss[:, None], thr * bg, 0.0)
+        rad = rad + jnp.where(rec.hit[:, None], thr * sc.emitted, 0.0)
+        cont = rec.hit & sc.ok
+        thr = jnp.where(cont[:, None], thr * sc.attenuation, thr)
+        if rr_start > 0:
+            p_s = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
+            do_rr = depth >= rr_start
+            survive = ~do_rr | (rng.uniform(k_rr, (N,)) < p_s)
+            scale = jnp.where(do_rr & survive, 1.0 / p_s, 1.0)
+            thr = jnp.where(cont[:, None], thr * scale[:, None], thr)
+            cont = cont & survive
+        depth = depth + 1
+        cont = cont & (depth < max_depth)
+        o = vec.where(rec.hit, rec.p, o)
+        d = vec.where(rec.hit, sc.direction, d)
+
+        # 4. deposit dying rays into the ring (small scatter target)
+        died = alive & ~cont
+        ring = ring.at[pix & (ring_w - 1)].add(
+            jnp.where(died[:, None], rad, 0.0))
+        alive = cont
+
+        # 5. drain final ring blocks to the framebuffer (contiguous copies).
+        #    Pixels below hist[0] // spp were fully issued max_depth bounces
+        #    ago, so every ray that can deposit to them is dead.  Up to two
+        #    blocks per bounce (steady-state advance is <= one).
+        safe_pix = hist[0] // spp
+        hist = jnp.concatenate([hist[1:],
+                                jnp.asarray([stream_next + n_refill])])
+
+        def drain_once(state):
+            fb, ring, drained = state
+            rows = jax.lax.dynamic_slice(
+                ring, (drained % ring_w, 0), (drain_k, 3))
+            fb = jax.lax.dynamic_update_slice(fb, rows, (drained, 0))
+            ring = jax.lax.dynamic_update_slice(
+                ring, jnp.zeros((drain_k, 3), jnp.float32),
+                (drained % ring_w, 0))
+            return fb, ring, drained + drain_k
+
+        for _ in range(2):
+            fb, ring, drained = jax.lax.cond(
+                drained + drain_k <= safe_pix, drain_once,
+                lambda s: s, (fb, ring, drained))
+
+        pay = jnp.concatenate(
+            [o, d, tm[:, None], thr, rad, pix.astype(jnp.float32)[:, None],
+             depth.astype(jnp.float32)[:, None]], axis=1)
+        return (it + 1, stream_next + n_refill, drained, hist, key, fb,
+                ring, pay, alive)
+
+    @jax.jit
+    def chunk(key):
+        fb = jnp.zeros((npix_pad, 3), jnp.float32)
+        ring = jnp.zeros((ring_w, 3), jnp.float32)
+        pay = jnp.zeros((N, 15), jnp.float32)
+        pay = pay.at[:, 3].set(1.0)            # unit-ish dirs for padding
+        alive = jnp.zeros((N,), bool)
+        hist = jnp.zeros((max_depth,), jnp.int32)
+        carry = (jnp.int32(0), jnp.int32(0), jnp.int32(0), hist, key,
+                 fb, ring, pay, alive)
+
+        def cond(carry):
+            it, stream_next, *_rest = carry
+            alive = carry[-1]
+            return (stream_next < total) | jnp.any(alive)
+
+        carry = jax.lax.while_loop(cond, step, carry)
+        _, _, drained, _, _, fb, ring, _, _ = carry
+        # final flush: each ring row r still holds at most one undrained
+        # pixel p = drained + ((r - drained) mod ring_w); one small scatter
+        row = jnp.arange(ring_w, dtype=jnp.int32)
+        p_cand = drained + ((row - drained) % ring_w)
+        ok = p_cand < npix_pad
+        fb = fb.at[jnp.where(ok, p_cand, 0)].add(
+            jnp.where(ok[:, None], ring, 0.0))
+        if npix_pad_out <= npix_pad:
+            fb = fb[:npix_pad_out]
+        else:
+            fb = jnp.concatenate(
+                [fb, jnp.zeros((npix_pad_out - npix_pad, 3), jnp.float32)])
+        if debug_stats:
+            return fb, {"iterations": carry[0], "stream": carry[1]}
+        return fb
 
     return chunk

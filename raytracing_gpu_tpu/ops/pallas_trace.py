@@ -111,7 +111,8 @@ class SceneBake(NamedTuple):
     tri_mode: str             # "resident" | "stream" (see _bake_triangles)
     tri_geom: np.ndarray      # (R, 128) packed hit-tier geometry rows
     tri_perm: np.ndarray      # (R*_HIT_PACK,) i32 slot -> original tri id
-    hit_nodes: np.ndarray     # (Mh, 23) hit-tier nodes: bounds|start|links8
+    hit_nodes: np.ndarray     # (Mh/4, 92) hit-tier nodes, 4 records/row,
+                              # each bounds|start|links8 (_HIT_NODE_PACK)
     hit_rows_per_leaf: int
     background: tuple
     sky: bool
@@ -157,7 +158,16 @@ _SPH_LEAF_K = 8
 # per wave (engine/wavefront.py) — the kernel never touches them.
 _HIT_PACK = 14                  # triangles per geometry row (14 * 9 = 126)
 _HIT_ROWS_PER_LEAF = 2          # leaf = 28 candidates, escalated if needed
-_HIT_VMEM_BUDGET = 11 * 2**20   # geometry rows + fused node array
+_HIT_VMEM_BUDGET = 11 * 2**20   # geometry rows + node rows
+# Node records COULD pack >1 per 128-lane row (rows lane-pad to 512 B), but
+# measured on v5e this LOSES: the per-step subslot where-chains serialize
+# the scalar walk (+3.3 ms/iter at pack=4 on the backpack steady wave,
+# round 5) and the node table was not the VMEM bottleneck anyway.  Smaller
+# leaves (rows_per_leaf=1) also lose (2.14 vs 3.25 Mrays/s e2e): DIVERGENT
+# packets pay per-visit, and more/smaller leaves mean more visits.  Keep
+# the machinery (PACK=1 compiles to plain static-lane extracts).
+_HIT_NODE_PACK = 1
+_HIT_NODE_COLS = 23
 
 # sphere row column layout (see bake_scene)
 _SPH_C0, _SPH_C1, _SPH_T0, _SPH_T1, _SPH_RAD, _SPH_KIND = 0, 3, 6, 7, 8, 9
@@ -401,7 +411,8 @@ def _bake_triangles(scene):
                 np.zeros((0, 2), np.int32), np.full((0, 1), -1, np.int32),
                 _TRI_LEAF_K, "resident",
                 np.zeros((0, LANES), np.float32),
-                np.zeros((0,), np.int32), np.zeros((0, 23), np.float32),
+                np.zeros((0,), np.int32),
+                np.zeros((0, _HIT_NODE_PACK * _HIT_NODE_COLS), np.float32),
                 _HIT_ROWS_PER_LEAF)
 
     rows = np.zeros((n_all, _TRI_COLS), np.float32)
@@ -493,8 +504,9 @@ def _bake_tri_packed(geom9: np.ndarray, keep: np.ndarray,
     dynamic-SUBLANE row load + STATIC-lane extract — the layout Mosaic can
     lower, unlike dynamic-lane scalar reads (the round-3 tpose dead end).
     Escalates rows-per-leaf until geometry + nodes fit _HIT_VMEM_BUDGET.
-    Returns (geom_rows (R, 128) f32, perm (slots,) i32, nodes (M, 23) f32
-    [bounds | leaf start row | 8 octant link pairs, see _octant_links],
+    Returns (geom_rows (R, 128) f32, perm (slots,) i32, nodes
+    (ceil(M/4), 92) f32 — _HIT_NODE_PACK records per row, each
+    [bounds | leaf start row | 8 octant link pairs, see _octant_links] —
     rows_per_leaf).
     """
     from ..accel import bvh as bvh_mod
@@ -508,7 +520,7 @@ def _bake_tri_packed(geom9: np.ndarray, keep: np.ndarray,
         m = lp.shape[0]
         leaf_nodes = np.nonzero(lp[:, 0] >= 0)[0]
         nl = len(leaf_nodes)
-        vmem = (nl * rows_per_leaf + m) * 512
+        vmem = (nl * rows_per_leaf + -(-m // _HIT_NODE_PACK)) * 512
         if vmem <= _HIT_VMEM_BUDGET or rows_per_leaf >= 64:
             break
         rows_per_leaf *= 2
@@ -527,11 +539,18 @@ def _bake_tri_packed(geom9: np.ndarray, keep: np.ndarray,
     start = np.full(m, -1.0, np.float32)        # leaf start as ROW index
     start[leaf_nodes] = (np.arange(nl) * rows_per_leaf).astype(np.float32)
     links8 = _octant_links(bvh)                 # (m, 16) f32
-    # node row (m, 23): bounds | start row | 8 octant (hit, miss) link pairs
+    # node record (23): bounds | start row | 8 octant (hit, miss) link pairs
     nodes = np.concatenate(
         [np.asarray(bvh.node_min, np.float32),
          np.asarray(bvh.node_max, np.float32),
          start[:, None], links8], axis=1)
+    # pack _HIT_NODE_PACK records per VMEM row (rows lane-pad to 512 B, so
+    # only the ROW count costs memory); pad with -1 terminator records
+    m4 = -(-m // _HIT_NODE_PACK) * _HIT_NODE_PACK
+    nodes = np.concatenate(
+        [nodes, np.full((m4 - m, _HIT_NODE_COLS), -1.0, np.float32)])
+    nodes = nodes.reshape(m4 // _HIT_NODE_PACK,
+                          _HIT_NODE_PACK * _HIT_NODE_COLS)
     return geom_rows, perm, nodes, rows_per_leaf
 
 
@@ -1944,16 +1963,27 @@ def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
                 def wbody(state):
                     node = state[0]
                     carry = state[1:]
-                    # whole node row in ONE dynamic-sublane vector load
-                    # (bounds | start | 8 octant link pairs); static-lane
-                    # extracts replace nine scalar VMEM loads
-                    nrow = hnode_ref[pl.ds(node, 1), :]
-                    tx0 = (nrow[0, 0] - ox) * ivx
-                    ty0 = (nrow[0, 1] - oy) * ivy
-                    tz0 = (nrow[0, 2] - oz) * ivz
-                    tx1 = (nrow[0, 3] - ox) * ivx
-                    ty1 = (nrow[0, 4] - oy) * ivy
-                    tz1 = (nrow[0, 5] - oz) * ivz
+                    # node records pack _HIT_NODE_PACK per 128-lane row
+                    # (lane padding makes rows cost 512 B regardless of
+                    # width); the row loads in ONE dynamic-sublane vector
+                    # load and the record selects by scalar where-chain —
+                    # a dynamic LANE offset would not lower in Mosaic
+                    nrow = hnode_ref[pl.ds(node // _HIT_NODE_PACK, 1), :]
+                    nsub = node % _HIT_NODE_PACK
+
+                    def nfield(f):
+                        r = nrow[0, f]
+                        for q in range(1, _HIT_NODE_PACK):
+                            r = jnp.where(nsub == q,
+                                          nrow[0, _HIT_NODE_COLS * q + f], r)
+                        return r
+
+                    tx0 = (nfield(0) - ox) * ivx
+                    ty0 = (nfield(1) - oy) * ivy
+                    tz0 = (nfield(2) - oz) * ivz
+                    tx1 = (nfield(3) - ox) * ivx
+                    ty1 = (nfield(4) - oy) * ivy
+                    tz1 = (nfield(5) - oz) * ivz
                     tn = jnp.maximum(
                         jnp.maximum(jnp.minimum(tx0, tx1),
                                     jnp.minimum(ty0, ty1)),
@@ -1967,16 +1997,16 @@ def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
                     limit = jnp.minimum(carry[0], t2)
                     hit_box = (tf >= jnp.maximum(tn, t_min)) & (tn <= limit)
                     any_hit = jnp.any(hit_box)
-                    rstart = nrow[0, 6].astype(jnp.int32)
+                    rstart = nfield(6).astype(jnp.int32)
                     carry = jax.lax.cond(
                         any_hit & (rstart >= 0),
                         lambda c: leaf(rstart, hit_box, c),
                         lambda c: c, carry)
 
                     def pick(col0):
-                        r = nrow[0, col0]
+                        r = nfield(col0)
                         for o_ in range(1, 8):
-                            r = jnp.where(oct_t == o_, nrow[0, col0 + 2 * o_],
+                            r = jnp.where(oct_t == o_, nfield(col0 + 2 * o_),
                                           r)
                         return r.astype(jnp.int32)
 
@@ -2163,7 +2193,8 @@ class PallasTracer:
                          else jnp.zeros((1, LANES), jnp.float32))
         self.hit_nodes = (jnp.asarray(self.bake.hit_nodes)
                           if len(self.bake.hit_nodes)
-                          else jnp.full((1, 23), -1.0, jnp.float32))
+                          else jnp.full((1, _HIT_NODE_PACK * _HIT_NODE_COLS),
+                                        -1.0, jnp.float32))
         self.tri_perm = (jnp.asarray(self.bake.tri_perm)
                          if len(self.bake.tri_perm)
                          else jnp.full((1,), -1, jnp.int32))

@@ -121,13 +121,36 @@ def compile_sharded_renderer(scene: Scene, camera: Camera,
     bounce loop over the rays it owns.
     """
     trace_fn = None
+    engine_name = "xla"
     if engine in ("auto", "pallas"):
         from ..engine.integrator import shade_radiance
         from ..ops import pallas_trace
 
         on = jax.default_backend() == "tpu" or engine == "pallas"
-        if on and pallas_trace.supports_forward(scene):
+        tracer0 = (pallas_trace.PallasTracer(scene)
+                   if on and pallas_trace.supports_scene(scene) else None)
+        want_wavefront = tracer0 is not None and (
+            tracer0.bake.tri_stream
+            or (settings.rr_start > 0
+                and not pallas_trace.supports_forward(scene)))
+        if want_wavefront and tracer0.supports_hit:
+            # sorted wavefront per device: same routing rule as the
+            # single-chip compile_renderer (big-mesh scenes diverge the
+            # full-depth megakernel packet walk; image-textured scenes with
+            # RR need the throughput in XLA) — the round-4 sharded router
+            # silently fell back to the streamed record walk here
+            from ..engine.wavefront import make_trace_wave
+
+            tw = make_trace_wave(scene, tracer0, settings.max_depth,
+                                 settings.t_min, settings.rr_start)
+
+            def trace_fn(scene_p, o, d, tm, k, max_depth, t_min, rr_start=0):
+                return tw(o, d, tm, k)
+
+            engine_name = "wavefront"
+        elif on and pallas_trace.supports_forward(scene):
             trace_fn = pallas_trace.PallasTracer(scene)
+            engine_name = "megakernel"
         elif on and pallas_trace.supports_scene(scene):
             tracer = pallas_trace.PallasTracer(scene)
 
@@ -140,6 +163,8 @@ def compile_sharded_renderer(scene: Scene, camera: Camera,
                 data = tracer.walk(o, d, tm, k, max_depth=max_depth,
                                    t_min=t_min)
                 return shade_radiance(scene_p, data)
+
+            engine_name = "record-walk"
         elif engine == "pallas":
             raise ValueError("scene not supported by the pallas megakernel")
 
@@ -147,7 +172,9 @@ def compile_sharded_renderer(scene: Scene, camera: Camera,
         return render_chunk_sharded(scene, camera, settings, key, mesh,
                                     trace_fn=trace_fn)
 
-    return jax.jit(chunk)
+    chunk = jax.jit(chunk)
+    chunk.engine_name = engine_name
+    return chunk
 
 
 def make_sharded_chunk_fn(mesh, scene=None, camera=None, settings=None,

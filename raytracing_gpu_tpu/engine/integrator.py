@@ -16,7 +16,7 @@ RTOW semantics, not reference bugs.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -124,6 +124,12 @@ class BounceData(NamedTuple):
     hit: Array     # (D, N) hit this bounce while alive
     cont: Array    # (D, N) path continued after this bounce
     miss: Array    # (D, N) escaped to background this bounce
+    # optional (D, N) russian-roulette survival scale (1/p for surviving
+    # roulette bounces, 1 elsewhere).  Recorded by the wavefront record walk
+    # with DETACHED probabilities (p from the baked-parameter throughput),
+    # so survival decisions are constant w.r.t. params: the estimator stays
+    # unbiased for any fixed p, and f(params) stays smooth for autodiff/FD.
+    scale: Optional[Array] = None
 
 
 def trace_bounces(
@@ -198,6 +204,7 @@ def shade_radiance(scene: Scene, data: BounceData) -> Array:
     h_all = data.hit.astype(jnp.float32)
     m_all = data.miss.astype(jnp.float32)
     c_all = data.cont.astype(jnp.float32)
+    s_all = jnp.ones_like(h_all) if data.scale is None else data.scale
 
     # Image-atlas scenes: texture/material evaluation hoisted OUT of the
     # bounce scan — one shade call over the flattened (D*N,) hit set instead
@@ -212,19 +219,23 @@ def shade_radiance(scene: Scene, data: BounceData) -> Array:
             scene, data.mat_id.reshape(-1), data.u.reshape(-1),
             data.v.reshape(-1), data.p.reshape(-1, 3))
         xs = (att_all.reshape(depth, n, 3), emit_all.reshape(depth, n, 3),
-              h_all, m_all, c_all)
+              h_all, m_all, c_all, s_all)
     else:
-        xs = (data.mat_id, data.u, data.v, data.p, h_all, m_all, c_all)
+        xs = (data.mat_id, data.u, data.v, data.p, h_all, m_all, c_all,
+              s_all)
 
     def step(throughput, x):
         if hoist:
-            att, emit, h, m, c = x
+            att, emit, h, m, c, s = x
         else:
-            mat_id, u, v, p, h, m, c = x
+            mat_id, u, v, p, h, m, c, s = x
             att, emit = materials_mod.shade(scene, mat_id, u, v, p)
         contrib = throughput * (m[:, None] * scene.background
                                 + h[:, None] * emit)
-        throughput = throughput * (c[:, None] * att + (1.0 - c[:, None]))
+        # s is the detached RR survival scale (1 when cont == 0, so dead
+        # lanes' frozen throughput is untouched)
+        throughput = (throughput * (c[:, None] * att + (1.0 - c[:, None]))
+                      * s[:, None])
         return throughput, contrib
 
     _, contribs = jax.lax.scan(step, jnp.ones((n, 3), jnp.float32), xs)
@@ -244,11 +255,14 @@ def _uses_image_textures(scene: Scene) -> bool:
     return bool(np.any(np.asarray(kinds) == TEX_IMAGE))
 
 
-def unpack_walk(planes, need_p: bool, need_uv: bool) -> BounceData:
+def unpack_walk(planes, need_p: bool, need_uv: bool,
+                need_scale: bool = False) -> BounceData:
     """Raw record planes (ops.pallas_trace.walk_packed) -> BounceData.
 
-    planes = (packed (D, N) i32, [px, py, pz,] [u, v]) — the masks live in
-    bits 16-18 of the packed plane and absent planes become zeros here.
+    planes = (packed (D, N) i32, [px, py, pz,] [u, v,] [scale]) — the masks
+    live in bits 16-18 of the packed plane and absent planes become zeros
+    here; the trailing scale plane (wavefront record walk with russian
+    roulette) defaults to ones.
     """
     packed = planes[0]
     max_depth, n = packed.shape
@@ -261,16 +275,19 @@ def unpack_walk(planes, need_p: bool, need_uv: bool) -> BounceData:
         p = jnp.zeros((max_depth, n, 3), jnp.float32)
     if need_uv:
         u, v = planes[i], planes[i + 1]
+        i += 2
     else:
         u = v = zeros
+    scale = planes[i] if need_scale else None
     return BounceData(
         mat_id=packed & 0xFFFF, u=u, v=v, p=p,
         hit=(packed & (1 << 16)) != 0, cont=(packed & (1 << 17)) != 0,
-        miss=(packed & (1 << 18)) != 0,
+        miss=(packed & (1 << 18)) != 0, scale=scale,
     )
 
 
-def shade_packed(scene: Scene, *planes, need_p: bool, need_uv: bool) -> Array:
+def shade_packed(scene: Scene, *planes, need_p: bool, need_uv: bool,
+                 need_scale: bool = False) -> Array:
     """Phase 2 over RAW record planes: unpack + shade in one step.
 
     Designed to sit under `jax.checkpoint`: the only residual the outer
@@ -281,7 +298,8 @@ def shade_packed(scene: Scene, *planes, need_p: bool, need_uv: bool) -> Array:
     fwd+bwd step in dynamic-update-slices materializing pred[D,N,3]
     residual stacks.
     """
-    return shade_radiance(scene, unpack_walk(planes, need_p, need_uv))
+    return shade_radiance(scene,
+                          unpack_walk(planes, need_p, need_uv, need_scale))
 
 
 def trace_diff(

@@ -244,14 +244,16 @@ def compile_param_renderer(scene: Scene, camera: Camera,
 
                 rw = make_record_trace_wave(scene, tracer,
                                             settings.max_depth,
-                                            settings.t_min)
+                                            settings.t_min,
+                                            rr_start=settings.rr_start)
                 sp_fn = partial(shade_packed, need_p=tracer.need_p,
-                                need_uv=tracer.need_uv)
+                                need_uv=tracer.need_uv,
+                                need_scale=settings.rr_start > 0)
 
                 def trace_fn(scene_p, o, d, tm, k, max_depth, t_min,
                              rr_start=0):
-                    assert rr_start == 0, \
-                        "russian roulette is not supported on the diff path"
+                    # detached RR (baked-probability) is supported HERE,
+                    # unlike the megakernel record walk below
                     return sp_fn(scene_p, *rw(o, d, tm, k))
 
                 @jax.jit

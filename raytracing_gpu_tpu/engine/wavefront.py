@@ -266,7 +266,7 @@ def make_trace_wave(scene: Scene, tracer, max_depth: int, t_min: float,
 
 
 def make_record_trace_wave(scene: Scene, tracer, max_depth: int,
-                           t_min: float):
+                           t_min: float, rr_start: int = 0):
     """Detached record-mode wavefront walk for ONE ray wave:
     (o, d, tm, key) -> raw record planes ((D, n) packed i32,
     [px, py, pz,] [u, v]) in PIXEL order — the `walk_packed` contract
@@ -283,6 +283,15 @@ def make_record_trace_wave(scene: Scene, tracer, max_depth: int,
     Per bounce the sorted-order record row is unscattered to pixel order
     with ONE (n, 8) unique-index set (measured ~0.4-0.7 ms vs the streamed
     record walk's 100x slowdown on 100k-tri scenes).
+
+    rr_start > 0 enables DETACHED russian roulette (VERDICT r4 weak #5 —
+    the megakernel record walk cannot roulette at all): survival
+    probabilities come from the BAKED-parameter throughput, so the
+    decisions and the recorded 1/p scale plane are constants w.r.t. the
+    traced params — the estimator is unbiased for any fixed p, f(params)
+    stays smooth (finite differences remain a valid oracle), and only the
+    variance-optimality of p drifts as the optimized params move away from
+    the baked ones.
     """
     lo = jnp.asarray(tracer.world_lo, jnp.float32)
     hi = lo + jnp.maximum(
@@ -290,10 +299,12 @@ def make_record_trace_wave(scene: Scene, tracer, max_depth: int,
     attr_slot = pack_attr_table(scene, tracer.bake.tri_perm)
     need_p, need_uv = tracer.need_p, tracer.need_uv
 
-    def bounce_record(o, d, tm, alive, kb, depth):
+    def bounce_record(o, d, tm, thr, alive, kb, depth):
         """One detached bounce: closest hit + scatter direction, emitting
-        the packed record row (no throughput — phase 2 owns shading)."""
-        k_scat = jax.random.split(rng.fold(kb, depth))[0]
+        the packed record row.  thr is the DETACHED baked-parameter
+        throughput — only used to set russian-roulette probabilities;
+        phase 2 owns the differentiable shading."""
+        k_scat, k_rr = jax.random.split(rng.fold(kb, depth))
         packed_k, p, u, v, normal, slot = tracer.hit(o, d, tm, alive,
                                                      t_min=t_min)
         rec = resolve_hit_packed(attr_slot, packed_k, p, u, v, normal,
@@ -302,45 +313,63 @@ def make_record_trace_wave(scene: Scene, tracer, max_depth: int,
         sc = materials_mod.scatter(scene, k_scat, d, rec.p, rec.normal,
                                    rec.front_face, rec.u, rec.v, rec.mat_id)
         cont = rec.hit & sc.ok
+        thr = jnp.where(cont[:, None], thr * sc.attenuation, thr)
+        scale_rec = jnp.ones(o.shape[0], jnp.float32)
+        if rr_start > 0:
+            # same draws/decisions as the forward wavefront's bounce_shade
+            p_s = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
+            do_rr = jnp.greater_equal(depth, rr_start)
+            survive = ~do_rr | (rng.uniform(k_rr, (thr.shape[0],)) < p_s)
+            scale = jnp.where(do_rr & survive, 1.0 / p_s, 1.0)
+            thr = jnp.where(cont[:, None], thr * scale[:, None], thr)
+            scale_rec = jnp.where(cont & survive, scale, 1.0)
+            cont = cont & survive
         plane = (rec.mat_id
                  | (rec.hit.astype(jnp.int32) << 16)
                  | (cont.astype(jnp.int32) << 17)
                  | (miss.astype(jnp.int32) << 18))
         row = jnp.concatenate(
             [plane.astype(jnp.float32)[:, None], rec.p,
-             rec.u[:, None], rec.v[:, None],
-             jnp.zeros((o.shape[0], 2), jnp.float32)], axis=1)   # (n, 8)
+             rec.u[:, None], rec.v[:, None], scale_rec[:, None],
+             jnp.zeros((o.shape[0], 1), jnp.float32)], axis=1)   # (n, 8)
         o = vec.where(rec.hit, rec.p, o)
         d = vec.where(rec.hit, sc.direction, d)
-        return o, d, cont, row
+        return o, d, thr, cont, row
 
     def trace_record(o, d, tm, kb):
         n = o.shape[0]
         perm = jnp.arange(n, dtype=jnp.int32)
         alive = jnp.ones((n,), bool)
-        o, d, alive, row0 = bounce_record(o, d, tm, alive, kb, 0)
+        thr = jnp.ones((n, 3), jnp.float32)
+        o, d, thr, alive, row0 = bounce_record(o, d, tm, thr, alive, kb, 0)
 
         def live_bounce(carry, depth):
-            o, d, tm, alive, perm = carry
+            o, d, tm, thr, alive, perm = carry
             order = jnp.argsort(_sort_keys(o, d, alive, lo, hi))
             pay = jnp.concatenate(
-                [o, d, tm[:, None], perm.astype(jnp.float32)[:, None]],
-                axis=1)[order]
+                [o, d, tm[:, None], thr,
+                 perm.astype(jnp.float32)[:, None]], axis=1)[order]
             o, d, tm = pay[:, 0:3], pay[:, 3:6], pay[:, 6]
-            perm = pay[:, 7].astype(jnp.int32)
+            thr = pay[:, 7:10]
+            perm = pay[:, 10].astype(jnp.int32)
             alive = alive[order]
-            o, d, alive, row = bounce_record(o, d, tm, alive, kb, depth)
+            o, d, thr, alive, row = bounce_record(o, d, tm, thr, alive, kb,
+                                                  depth)
             # unscatter the record to pixel order (unique-index set)
             row = jnp.zeros((n, 8), jnp.float32).at[perm].set(row)
-            return (o, d, tm, alive, perm), row
+            return (o, d, tm, thr, alive, perm), row
+
+        # all-dead bounces still need scale == 1 rows (shade multiplies the
+        # carried throughput by the scale plane unconditionally)
+        dead_row = jnp.zeros((n, 8), jnp.float32).at[:, 6].set(1.0)
 
         def bounce(carry, depth):
             return jax.lax.cond(
-                jnp.any(carry[3]),
+                jnp.any(carry[4]),
                 lambda c: live_bounce(c, depth),
-                lambda c: (c, jnp.zeros((n, 8), jnp.float32)), carry)
+                lambda c: (c, dead_row), carry)
 
-        carry = (o, d, tm, alive, perm)
+        carry = (o, d, tm, thr, alive, perm)
         carry, rows = jax.lax.scan(bounce, carry,
                                    jnp.arange(1, max_depth, dtype=jnp.int32))
         rows = jnp.concatenate([row0[None], rows])      # (D, n, 8)
@@ -349,6 +378,8 @@ def make_record_trace_wave(scene: Scene, tracer, max_depth: int,
             planes += [rows[..., 1], rows[..., 2], rows[..., 3]]
         if need_uv:
             planes += [rows[..., 4], rows[..., 5]]
+        if rr_start > 0:
+            planes.append(rows[..., 6])
         return tuple(planes)
 
     return trace_record

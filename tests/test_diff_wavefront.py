@@ -69,6 +69,50 @@ class TestDiffWavefront:
             sd.scene, sd.camera, st)(key))[:npix]
         np.testing.assert_allclose(primal, fwd, rtol=1e-4, atol=1e-5)
 
+    def test_rr_primal_matches_forward_wavefront(self):
+        """Detached russian roulette: identical key schedule as the forward
+        wavefront's RR, so the record+shade primal matches exactly."""
+        sd = scenes.get("door")
+        st = RenderSettings(image_width=48, aspect_ratio=sd.aspect,
+                            spp_per_chunk=4, num_chunks=1, max_depth=8,
+                            ray_batch=1296, rr_start=2)
+        key = jax.random.PRNGKey(8)
+        npix = st.num_pixels
+        chunk = compile_param_renderer(sd.scene, sd.camera, st,
+                                       engine="wavefront")
+        params = diff.get_params(sd.scene)
+        primal = np.asarray(chunk(params, key))[:npix]
+        fwd = np.asarray(compile_wavefront_renderer(
+            sd.scene, sd.camera, st)(key))[:npix]
+        np.testing.assert_allclose(primal, fwd, rtol=1e-4, atol=1e-5)
+
+    def test_rr_grads_match_finite_differences(self):
+        """RR survival decisions use BAKED-parameter probabilities, so
+        f(params) stays smooth and central differences remain valid."""
+        scene, cam = _mini_cornell()
+        st = RenderSettings(image_width=24, aspect_ratio=1.0,
+                            spp_per_chunk=4, num_chunks=1, max_depth=6,
+                            ray_batch=24 * 24, rr_start=2)
+        chunk = compile_param_renderer(scene, cam, st, engine="wavefront")
+        params = diff.get_params(scene)
+        key = jax.random.PRNGKey(13)
+        npix = st.num_pixels
+
+        def loss(p):
+            return float(chunk(p, key)[:npix].mean())
+
+        grads = jax.grad(lambda p: chunk(p, key)[:npix].mean())(params)
+        eps = 2e-3
+        for name, idx in [("tex_c1", (0, 0)), ("tex_c1", (3, 2))]:
+            ad = float(grads[name][idx])
+            p_plus = dict(params)
+            p_plus[name] = params[name].at[idx].add(eps)
+            p_minus = dict(params)
+            p_minus[name] = params[name].at[idx].add(-eps)
+            fd = (loss(p_plus) - loss(p_minus)) / (2 * eps)
+            assert ad == pytest.approx(fd, rel=5e-2, abs=2e-2), \
+                (name, idx, ad, fd)
+
     def test_grads_match_finite_differences(self):
         scene, cam = _mini_cornell()
         st = _settings(1.0)

@@ -63,7 +63,9 @@ def bench_forward(name: str, width: int, aspect: float, spp: int, depth: int,
     from raytracing_gpu_tpu.models import scenes
 
     spp_run = max(1, spp // spp_scale)
-    chunks = max(1, min(4, spp_run))  # amortize over >=1 chunk boundaries
+    # chunking keeps per-chunk spp >= 16 where the declared spp allows, so
+    # the regen route (which needs a dense sample stream) stays eligible
+    chunks = max(1, min(4, spp_run // 16 or spp_run))
     per_chunk = max(1, spp_run // chunks)
     sd = scenes.get(name)
     st = RenderSettings(image_width=width, aspect_ratio=aspect,

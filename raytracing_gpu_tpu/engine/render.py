@@ -132,7 +132,15 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
             want_wavefront = tracer.bake.tri_stream or (
                 settings.rr_start > 0
                 and not pallas_trace.supports_forward(scene))
-            if want_wavefront and tracer.supports_hit:
+            # sphere-BVH scenes (big_scene1 class) at depth >= 8: the
+            # megakernel's unsorted tiles never all die under stragglers
+            # (cost scales ~linearly with depth, measured), while regen's
+            # sorted always-full waves hold rate — 2.64 vs 5.30 Mrays/s at
+            # depth 16 (docs/PERF.md round 5).  Shallow renders keep the
+            # megakernel (11.5 Mrays/s at depth 4).
+            deep_sphere_bvh = (len(tracer.bake.sph_hit_nodes) > 0
+                               and settings.max_depth >= 8)
+            if (want_wavefront or deep_sphere_bvh) and tracer.supports_hit:
                 from .wavefront import (compile_regen_renderer,
                                         compile_wavefront_renderer)
 
@@ -147,10 +155,12 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
                                                        settings,
                                                        tracer=tracer),
                                 "regen")
-                return _tag(compile_wavefront_renderer(scene, camera,
-                                                       settings,
-                                                       tracer=tracer),
-                            "wavefront")
+                if want_wavefront:
+                    return _tag(compile_wavefront_renderer(scene, camera,
+                                                           settings,
+                                                           tracer=tracer),
+                                "wavefront")
+                # deep sphere-BVH at low spp: fall through to the megakernel
         if on and pallas_trace.supports_forward(scene):
             # fully in-kernel chunk: camera rays are generated inside the
             # megakernel from the wave's base pixel index (XLA-side ray

@@ -444,7 +444,7 @@ def _pow2_at_least(n: int) -> int:
 
 def compile_regen_renderer(
     scene: Scene, camera: Camera, settings: RenderSettings,
-    tracer=None, debug_stats: bool = False, hit_sub: int | None = 16,
+    tracer=None, debug_stats: bool = False, hit_sub: int | None = None,
 ) -> Callable[[Array], Array]:
     """Regenerative (persistent) wavefront: key -> (npix_pad, 3) sums.
 
@@ -481,16 +481,20 @@ def compile_regen_renderer(
     in one thread; regeneration is how a vector machine gets the same
     always-busy occupancy.
 
-    hit_sub: kernel packet rows.  The shipped megakernel default (STEP_SUB=32)
-    was swept on coherent primary waves; regen steady-state waves are ~1/3
-    hard scattered rays, where smaller packets win (backpack e2e, v5e:
-    sub=32 2.91, sub=16 3.25, sub=8 2.83 Mrays/s) — 16 is the regen default.
+    hit_sub: kernel packet rows, swept per scene class on v5e.  Regen
+    steady-state waves are ~1/3 hard scattered rays; on the 100k-tri
+    backpack smaller packets win (sub=32 2.91, 16 3.25, 8 2.83 Mrays/s e2e)
+    while on the sphere-BVH big_scene1 the cheaper candidates favor bigger
+    packets (sub=16 3.60, 32 5.30).  Default: 16 for tri_stream scenes,
+    32 otherwise.
     """
     from ..ops import pallas_trace
 
     if tracer is None:
         tracer = pallas_trace.PallasTracer(scene)
     assert tracer.supports_hit
+    if hit_sub is None:
+        hit_sub = 16 if tracer.bake.tri_stream else 32
     h, w = settings.image_height, settings.image_width
     npix = h * w
     N = settings.ray_batch

@@ -114,6 +114,8 @@ class SceneBake(NamedTuple):
     hit_nodes: np.ndarray     # (Mh/4, 92) hit-tier nodes, 4 records/row,
                               # each bounds|start|links8 (_HIT_NODE_PACK)
     hit_rows_per_leaf: int
+    sph_hit_nodes: np.ndarray  # (Ms, 23) hit-tier SPHERE nodes:
+                               # bounds|start row|links8 (empty = dense loop)
     background: tuple
     sky: bool
     digest: str            # content hash — the jit static-arg identity
@@ -321,6 +323,7 @@ def bake_scene(scene: st.Scene) -> SceneBake:
     sph_nodes = np.zeros((0, 6), np.float32)
     sph_links = np.zeros((0, 2), np.int32)
     sph_start = np.full((0, 1), -1, np.int32)
+    sph_hit_nodes = np.zeros((0, 23), np.float32)
     if len(table) > _SPH_BVH_MIN:
         from ..accel import bvh as bvh_mod
 
@@ -332,6 +335,13 @@ def bake_scene(scene: st.Scene) -> SceneBake:
                             np.maximum(c0s, c1s) + rr, leaf_size=_SPH_LEAF_K)
         table, sph_nodes, sph_links, sph_start = _leaf_contiguous(
             table, bvh, _SPH_LEAF_K)
+        # hit-tier sphere nodes: bounds | leaf start row | 8 octant link
+        # pairs — same walk layout as the triangle hit tier, so the pure
+        # closest-hit kernel can packet-walk sphere-heavy scenes
+        # (big_scene1) instead of reporting supports_hit == False
+        sph_hit_nodes = np.concatenate(
+            [sph_nodes, sph_start.astype(np.float32),
+             _octant_links(bvh)], axis=1)
     (tri_table, tri_nodes, tri_links, tri_start, tri_leaf_k, tri_mode,
      tri_geom, tri_perm, hit_nodes, hit_rows) = _bake_triangles(scene)
     bg = tuple(float(x) for x in np.asarray(scene.background))
@@ -340,7 +350,7 @@ def bake_scene(scene: st.Scene) -> SceneBake:
     for part in (rects, boxes, sphere_media, box_media, bg,
                  tri_leaf_k, tri_mode, hit_rows, _SPH_LEAF_K):
         h.update(repr(part).encode())
-    for arr in (table, sph_nodes, sph_links, sph_start,
+    for arr in (table, sph_nodes, sph_links, sph_start, sph_hit_nodes,
                 tri_table, tri_nodes, tri_links, tri_start,
                 tri_geom, tri_perm, hit_nodes):
         h.update(str(arr.shape).encode())
@@ -354,6 +364,7 @@ def bake_scene(scene: st.Scene) -> SceneBake:
                      tri_leaf_k=tri_leaf_k, tri_mode=tri_mode,
                      tri_geom=tri_geom, tri_perm=tri_perm,
                      hit_nodes=hit_nodes, hit_rows_per_leaf=hit_rows,
+                     sph_hit_nodes=sph_hit_nodes,
                      background=bg, sky=bg != (0.0, 0.0, 0.0),
                      digest=h.hexdigest())
 
@@ -1702,14 +1713,15 @@ def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
     """
     assert not bake.sphere_media and not bake.box_media, \
         "hit kernel is RNG-free; media scenes use the megakernel paths"
-    assert len(bake.sph_nodes) == 0, \
-        "hit kernel uses the dense sphere loop (sphere-BVH scenes route " \
-        "through the megakernel)"
+    assert len(bake.sph_nodes) == 0 or len(bake.sph_hit_nodes) > 0, \
+        "sphere-BVH scenes need the hit-tier sphere nodes (bake_scene)"
     n_sphere_rows = len(bake.sphere_table)
     n_hit_nodes = len(bake.hit_nodes)
+    n_sph_hit = len(bake.sph_hit_nodes)
+    sph_leaf_k = bake.sph_leaf_k
     rows_per_leaf = bake.hit_rows_per_leaf
 
-    def kernel(sph_ref, hnode_ref, geom_ref,
+    def kernel(sph_ref, shnode_ref, hnode_ref, geom_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                alive_ref,
                pk_ref, px_ref, py_ref, pz_ref, cu_ref, cv_ref,
@@ -1834,18 +1846,21 @@ def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
                 take(ok & (t < t2), t, nwx, nobj_y, nwz, prim["mat"],
                      bu, bv, 0.0)
 
-            for row in range(n_sphere_rows):
-                c0x = sph_ref[row, 0]
-                c0y = sph_ref[row, 1]
-                c0z = sph_ref[row, 2]
-                c1x = sph_ref[row, 3]
-                c1y = sph_ref[row, 4]
-                c1z = sph_ref[row, 5]
-                tt0 = sph_ref[row, 6]
-                tt1 = sph_ref[row, 7]
-                rad = sph_ref[row, 8]
-                m_id = sph_ref[row, _SPH_MAT]
-                uoff = sph_ref[row, _SPH_UOFF]
+            def sph_cand(srow, box_mask, t2c, nxc, nyc, nzc, matc, uuc,
+                         vvc, sphc):
+                """One sphere row (static OR dynamic index) against the
+                tile; carry-passing so the packet walk can thread it."""
+                c0x = sph_ref[srow, 0]
+                c0y = sph_ref[srow, 1]
+                c0z = sph_ref[srow, 2]
+                c1x = sph_ref[srow, 3]
+                c1y = sph_ref[srow, 4]
+                c1z = sph_ref[srow, 5]
+                tt0 = sph_ref[srow, 6]
+                tt1 = sph_ref[srow, 7]
+                rad = sph_ref[srow, 8]
+                m_id = sph_ref[srow, _SPH_MAT]
+                uoff = sph_ref[srow, _SPH_UOFF]
                 denom = jnp.where(jnp.abs(tt1 - tt0) < 1e-12, 1.0, tt1 - tt0)
                 frac = (tm - tt0) / denom
                 cx = c0x + frac * (c1x - c0x)
@@ -1865,14 +1880,94 @@ def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
                 has = (disc > 0.0) & (jnp.abs(rad) > 0.0)
                 t = jnp.where(has & (near >= t_min), near,
                               jnp.where(has & (far >= t_min), far, BIG))
-                better = t < t2
+                better = t < t2c
+                if box_mask is not None:
+                    better = better & box_mask
                 px = ox + t * dx
                 py = oy + t * dy
                 pz = oz + t * dz
                 inv_r = 1.0 / jnp.where(jnp.abs(rad) < _EPS, 1.0, rad)
-                take(better, t, (px - cx) * inv_r, (py - cy) * inv_r,
-                     (pz - cz) * inv_r, m_id.astype(jnp.int32),
-                     uoff + zeros, zeros, 1.0)
+                return (jnp.where(better, t, t2c),
+                        jnp.where(better, (px - cx) * inv_r, nxc),
+                        jnp.where(better, (py - cy) * inv_r, nyc),
+                        jnp.where(better, (pz - cz) * inv_r, nzc),
+                        jnp.where(better, m_id, matc),
+                        jnp.where(better, uoff + zeros, uuc),
+                        jnp.where(better, zeros, vvc),
+                        jnp.where(better, 1.0, sphc))
+
+            if n_sph_hit > 0:
+                # sphere-heavy scenes (big_scene1): octant-ordered packet
+                # walk over the leaf-contiguous sphere table — without this
+                # tier supports_hit was False and the whole scene class lost
+                # the sorted-wavefront/regen route (round-5 addition)
+                def s_inv(v):
+                    return 1.0 / jnp.where(
+                        jnp.abs(v) < _EPS,
+                        jnp.where(v >= 0, _EPS, -_EPS), v)
+
+                s_ivx, s_ivy, s_ivz = s_inv(dx), s_inv(dy), s_inv(dz)
+                s_oct = (((jnp.sum(dx) < 0).astype(jnp.int32) << 2)
+                         | ((jnp.sum(dy) < 0).astype(jnp.int32) << 1)
+                         | (jnp.sum(dz) < 0).astype(jnp.int32))
+
+                def s_leaf(rstart, box_mask, carry):
+                    for kk in range(sph_leaf_k):
+                        carry = sph_cand(rstart + kk, box_mask, *carry)
+                    return carry
+
+                def s_cond(state):
+                    return state[0] >= 0
+
+                def s_body(state):
+                    node = state[0]
+                    carry = state[1:]
+                    nrow = shnode_ref[pl.ds(node, 1), :]
+                    tx0 = (nrow[0, 0] - ox) * s_ivx
+                    ty0 = (nrow[0, 1] - oy) * s_ivy
+                    tz0 = (nrow[0, 2] - oz) * s_ivz
+                    tx1 = (nrow[0, 3] - ox) * s_ivx
+                    ty1 = (nrow[0, 4] - oy) * s_ivy
+                    tz1 = (nrow[0, 5] - oz) * s_ivz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1))
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+                    hit_box = (tf >= jnp.maximum(tn, t_min)) & (tn <= carry[0])
+                    any_hit = jnp.any(hit_box)
+                    rstart = nrow[0, 6].astype(jnp.int32)
+                    carry = jax.lax.cond(
+                        any_hit & (rstart >= 0),
+                        lambda c: s_leaf(rstart, hit_box, c),
+                        lambda c: c, carry)
+
+                    def s_pick(col0):
+                        r = nrow[0, col0]
+                        for o_ in range(1, 8):
+                            r = jnp.where(s_oct == o_,
+                                          nrow[0, col0 + 2 * o_], r)
+                        return r.astype(jnp.int32)
+
+                    nxt = jnp.where(any_hit, s_pick(7), s_pick(8))
+                    return (nxt, *carry)
+
+                st0 = (jnp.int32(0), t2, nx, ny, nz,
+                       mat.astype(jnp.float32), uu, vv, sphf)
+                out_s = jax.lax.while_loop(s_cond, s_body, st0)
+                t2, nx, ny, nz = out_s[1:5]
+                mat = out_s[5].astype(jnp.int32)
+                uu, vv, sphf = out_s[6:9]
+            else:
+                for row in range(n_sphere_rows):
+                    out_d = sph_cand(row, None, t2, nx, ny, nz,
+                                     mat.astype(jnp.float32), uu, vv, sphf)
+                    t2, nx, ny, nz = out_d[0:4]
+                    mat = out_d[4].astype(jnp.int32)
+                    uu, vv, sphf = out_d[5:8]
 
             # ---- triangle tier: packet walk of the packed-geometry BVH ----
             t1 = jnp.full(shape, BIG)
@@ -2069,7 +2164,7 @@ def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
 
 @functools.partial(jax.jit, static_argnames=("bake_key", "t_min",
                                              "interpret", "sub"))
-def _run_hit(bake_key, sph_table, hit_nodes, tri_geom,
+def _run_hit(bake_key, sph_table, sph_hit_nodes, hit_nodes, tri_geom,
              ox, oy, oz, dx, dy, dz, tm, alive,
              t_min, interpret, sub=STEP_SUB):
     bake = _BAKES[bake_key]
@@ -2085,13 +2180,14 @@ def _run_hit(bake_key, sph_table, hit_nodes, tri_geom,
     out = pl.pallas_call(
         kernel,
         grid=(rows // sub,),
-        in_specs=[whole(sph_table), whole(hit_nodes), whole(tri_geom),
-                  *([ray_spec] * 8)],
+        in_specs=[whole(sph_table), whole(sph_hit_nodes), whole(hit_nodes),
+                  whole(tri_geom), *([ray_spec] * 8)],
         out_specs=[ray_spec] * 10,
         out_shape=([jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]
                    + [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 9),
         interpret=interpret,
-    )(sph_table, hit_nodes, tri_geom, ox, oy, oz, dx, dy, dz, tm, alive)
+    )(sph_table, sph_hit_nodes, hit_nodes, tri_geom,
+      ox, oy, oz, dx, dy, dz, tm, alive)
     return out
 
 
@@ -2198,16 +2294,24 @@ class PallasTracer:
         self.tri_perm = (jnp.asarray(self.bake.tri_perm)
                          if len(self.bake.tri_perm)
                          else jnp.full((1,), -1, jnp.int32))
-        # hit tier requires: no media, dense sphere loop, AND the packed
-        # bake actually fit VMEM — _bake_tri_packed's escalation loop caps
-        # at rows_per_leaf=64 even when still over budget, so an oversized
-        # mesh (~>300k tris) must fall back to the streamed megakernel walk
-        # instead of shipping a pallas_call that cannot fit in ~16 MB VMEM
-        hit_fits = ((self.tri_geom.shape[0] + self.hit_nodes.shape[0]) * 512
+        self.sph_hit_nodes = (jnp.asarray(self.bake.sph_hit_nodes)
+                              if len(self.bake.sph_hit_nodes)
+                              else jnp.full((1, 23), -1.0, jnp.float32))
+        # hit tier requires: no media (the kernel is RNG-free) AND the
+        # packed bake actually fit VMEM — _bake_tri_packed's escalation loop
+        # caps at rows_per_leaf=64 even when still over budget, so an
+        # oversized mesh (~>300k tris) must fall back to the streamed
+        # megakernel walk instead of shipping a pallas_call that cannot fit
+        # in ~16 MB VMEM.  Sphere-BVH scenes (big_scene1) use the hit-tier
+        # sphere packet walk (round 5); small sphere sets the dense loop.
+        hit_fits = ((self.tri_geom.shape[0] + self.hit_nodes.shape[0]
+                     + self.sph_table.shape[0]
+                     + self.sph_hit_nodes.shape[0]) * 512
                     <= _HIT_VMEM_BUDGET)
         self.supports_hit = (not self.bake.sphere_media
                              and not self.bake.box_media
-                             and self.n_sph_nodes == 0
+                             and (self.n_sph_nodes == 0
+                                  or len(self.bake.sph_hit_nodes) > 0)
                              and hit_fits)
         # world AABB for the sorted-wavefront driver's morton keys: the
         # TRIANGLE bounds when a mesh exists (a huge ground sphere would
@@ -2265,7 +2369,7 @@ class PallasTracer:
         return out[:n]
 
     def trace_pixels(self, camera, img_h, img_w, pix_base, n, seed,
-                     max_depth=50, t_min=0.001, rr_start=0):
+                     max_depth=50, t_min=0.001, rr_start=0, sub=SUB):
         """Forward radiance for pixels [pix_base, pix_base+n) with the camera
         rays generated IN-KERNEL (jitter + thin lens + shutter time from the
         kernel PCG stream) — no XLA-side ray planes at all.
@@ -2277,7 +2381,7 @@ class PallasTracer:
         (measured on v5e: 194 -> 9 Mrays/s)."""
         interpret = jax.default_backend() != "tpu"
         cam = _cam_tuple(camera, img_h, img_w)
-        rows = -(-(-(-n // LANES)) // SUB) * SUB
+        rows = -(-(-(-n // LANES)) // sub) * sub
         pb = jnp.asarray(pix_base, jnp.int32).reshape(1)
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
         lr, lg, lb = _run(
@@ -2285,7 +2389,7 @@ class PallasTracer:
             self.sph_start, self.tri_table, self.tri_nodes,
             None, None, None, None, None, None, None,
             max_depth=max_depth, t_min=t_min, interpret=interpret,
-            cam=cam, pix_base=pb, rows=rows, rr_start=rr_start)
+            cam=cam, pix_base=pb, rows=rows, rr_start=rr_start, sub=sub)
         out = jnp.stack([lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)],
                         axis=-1)
         return out[:n]
@@ -2331,8 +2435,8 @@ class PallasTracer:
         args = [a.reshape(rows, LANES) for a in
                 (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tm,
                  alive.astype(jnp.float32))]
-        out = _run_hit(self.key, self.sph_table, self.hit_nodes,
-                       self.tri_geom, *args, t_min=t_min,
+        out = _run_hit(self.key, self.sph_table, self.sph_hit_nodes,
+                       self.hit_nodes, self.tri_geom, *args, t_min=t_min,
                        interpret=interpret, sub=sub)
         flat = [a.reshape(-1)[:n] for a in out]
         packed = flat[0]

@@ -119,3 +119,53 @@ class TestRegen:
                 tracer=door_tracer)(key))[:npix] / 16)
         a, b = outs[0].mean(), outs[3].mean()
         assert abs(a - b) < 0.05 * a + 2e-3, (a, b)
+
+
+class TestSphereBVHHitTier:
+    """Round-5 sphere-BVH packet walk in the pure hit kernel: big_scene1
+    (~500 spheres incl. moving) previously reported supports_hit == False
+    and lost the whole sorted-wavefront/regen route."""
+
+    def test_big_scene1_hit_matches_closest_hit(self):
+        from raytracing_gpu_tpu.engine.intersect import closest_hit
+
+        sd = scenes.get("big_scene1")
+        tracer = PallasTracer(sd.scene)
+        assert tracer.supports_hit
+        assert tracer.bake.sph_hit_nodes.shape[0] > 0
+        key = jax.random.PRNGKey(5)
+        n = 4096
+        px = jax.random.uniform(key, (n,))
+        py = jax.random.uniform(jax.random.fold_in(key, 1), (n,))
+        o, d, tm = sd.camera.get_rays(key, px, py)
+        alive = jnp.ones((n,), bool)
+        packed, p, u, v, normal, slot = tracer.hit(o, d, tm, alive)
+        attr = pack_attr_table(sd.scene, tracer.bake.tri_perm)
+        rec = resolve_hit_packed(attr, packed, p, u, v, normal, slot, d)
+        ref = closest_hit(sd.scene, o, d, tm, jax.random.PRNGKey(9))
+        hk = np.asarray(rec.hit)
+        assert hk.sum() > 1000
+        np.testing.assert_array_equal(hk, np.asarray(ref.hit))
+        np.testing.assert_array_equal(np.asarray(rec.mat_id)[hk],
+                                      np.asarray(ref.mat_id)[hk])
+        # many r=0.2 spheres at ~13 units: f32 quadratic cancellation gives
+        # mm-scale p (and ~1e-2 normal) differences on BOTH sides
+        np.testing.assert_allclose(np.asarray(rec.p)[hk],
+                                   np.asarray(ref.p)[hk], atol=5e-3)
+        np.testing.assert_allclose(np.asarray(rec.normal)[hk],
+                                   np.asarray(ref.normal)[hk], atol=3e-2)
+
+    def test_deep_sphere_bvh_routes_regen(self):
+        from raytracing_gpu_tpu.engine.render import compile_renderer
+
+        sd = scenes.get("big_scene1")
+        deep = RenderSettings(image_width=64, aspect_ratio=sd.aspect,
+                              spp_per_chunk=16, num_chunks=1, max_depth=16,
+                              ray_batch=512)
+        c = compile_renderer(sd.scene, sd.camera, deep, engine="pallas")
+        assert c.engine_name == "regen"
+        shallow = RenderSettings(image_width=64, aspect_ratio=sd.aspect,
+                                 spp_per_chunk=16, num_chunks=1, max_depth=4,
+                                 ray_batch=512)
+        c = compile_renderer(sd.scene, sd.camera, shallow, engine="pallas")
+        assert c.engine_name == "megakernel"

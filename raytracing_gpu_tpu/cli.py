@@ -120,7 +120,8 @@ def main(argv=None) -> int:
         with meter.measure(st.num_pixels * st.spp_per_chunk):
             jax.block_until_ready(chunk(jax.random.fold_in(key, 1)))
         print(json.dumps({"scene": args.scene, "mrays_per_s": round(meter.mrays, 3),
-                          "seconds": round(meter.seconds, 4)}))
+                          "seconds": round(meter.seconds, 4),
+                          "engine": getattr(chunk, "engine_name", "xla")}))
         return 0
 
     # render

@@ -344,6 +344,10 @@ def render_linear(
     if chunk_fn is None:
         with phase("build"):
             compiled = compile_renderer(scene, camera, settings)
+        from ..utils.profiling import logger
+
+        logger.info("render engine: %s",
+                    getattr(compiled, "engine_name", "xla"))
         chunk = lambda _s, _c, _st, k: compiled(k)
     else:
         chunk = chunk_fn

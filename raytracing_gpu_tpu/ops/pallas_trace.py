@@ -555,13 +555,41 @@ def _bake_tri_packed(geom9: np.ndarray, keep: np.ndarray,
         [np.asarray(bvh.node_min, np.float32),
          np.asarray(bvh.node_max, np.float32),
          start[:, None], links8], axis=1)
+    # per-ROW bounding boxes in the node record's spare lanes (the row
+    # lane-pads to 512 B regardless): cols 23+6r..29+6r bound geometry row
+    # r of the leaf.  The kernel tests them before each row's _HIT_PACK
+    # candidates — a whole-row skip costs one any() (the round-3
+    # PER-CANDIDATE gate lost 2x because the any() overhead matched one
+    # candidate; amortized over 14 it wins), and padding rows (empty box)
+    # skip for free.  Only baked when they fit next to the 23 base cols.
+    if _HIT_NODE_PACK == 1 and 23 + 6 * rows_per_leaf <= LANES:
+        tri9 = slots.reshape(nl, rows_per_leaf, _HIT_PACK, 9)
+        valid = (sel >= 0).reshape(nl, rows_per_leaf, _HIT_PACK)
+        v0 = tri9[..., 0:3]
+        v1 = v0 + tri9[..., 3:6]
+        v2 = v0 + tri9[..., 6:9]
+        tmin = np.minimum(np.minimum(v0, v1), v2)
+        tmax = np.maximum(np.maximum(v0, v1), v2)
+        big = np.float32(3e38)
+        tmin = np.where(valid[..., None], tmin, big)
+        tmax = np.where(valid[..., None], tmax, -big)
+        row_lo = tmin.min(axis=2)               # (nl, rows_per_leaf, 3)
+        row_hi = tmax.max(axis=2)
+        rb = np.concatenate([row_lo, row_hi], axis=-1)  # (nl, R, 6)
+        row_bb = np.zeros((m, 6 * rows_per_leaf), np.float32)
+        row_bb[:, 0::6] = big                   # empty box for internals
+        row_bb[:, 3::6] = -big
+        row_bb[leaf_nodes] = rb.reshape(nl, -1)
+        nodes = np.concatenate([nodes, row_bb], axis=1)
     # pack _HIT_NODE_PACK records per VMEM row (rows lane-pad to 512 B, so
-    # only the ROW count costs memory); pad with -1 terminator records
-    m4 = -(-m // _HIT_NODE_PACK) * _HIT_NODE_PACK
-    nodes = np.concatenate(
-        [nodes, np.full((m4 - m, _HIT_NODE_COLS), -1.0, np.float32)])
-    nodes = nodes.reshape(m4 // _HIT_NODE_PACK,
-                          _HIT_NODE_PACK * _HIT_NODE_COLS)
+    # only the ROW count costs memory); pad with -1 terminator records.
+    # PACK == 1 keeps records as-is (incl. the optional row-bbox cols).
+    if _HIT_NODE_PACK > 1:
+        m4 = -(-m // _HIT_NODE_PACK) * _HIT_NODE_PACK
+        nodes = np.concatenate(
+            [nodes, np.full((m4 - m, nodes.shape[1]), -1.0, np.float32)])
+        nodes = nodes.reshape(m4 // _HIT_NODE_PACK,
+                              _HIT_NODE_PACK * nodes.shape[1])
     return geom_rows, perm, nodes, rows_per_leaf
 
 
@@ -1992,20 +2020,28 @@ def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
 
                 _dbg = _HIT_DEBUG
 
-                def leaf(rstart, box_mask, carry):
-                    if _dbg == "nodes":      # walk only (perf debug)
-                        return carry
-                    rows = geom_ref[pl.ds(rstart, rows_per_leaf), :]
-                    base_slot = rstart.astype(jnp.float32) * float(_HIT_PACK)
+                # Per-row bounding boxes live in the node record's spare
+                # lanes (see _bake_tri_packed).  Gating each row's
+                # candidates behind cond(any(row_hit)) was measured a LOSS
+                # on v5e (backpack config 5: 4.17 -> 3.63 Mrays/s): the
+                # divergent packet unions intersect nearly every visited
+                # row, so the per-row any() + branch overhead exceeds the
+                # skipped vector work — same verdict as the round-3
+                # per-candidate gate, amortization notwithstanding.  The
+                # bake keeps the columns (free: rows lane-pad anyway);
+                # flip to True to re-measure on future hardware.
+                has_rowbb = False
+
+                def row_cands(rows, rr_list, base_slot, mask, carry):
                     # candidates are computed INDEPENDENTLY and min-combined
                     # as a binary tree: a serial where-chain makes every
                     # candidate wait on the previous one's select latency
                     # (the VPU serial-chain bound, docs/PERF.md roofline);
                     # the tree keeps ~leaf_k tests in flight
                     cands = [carry]
-                    for kk in range(rows_per_leaf * _HIT_PACK):
-                        rr = kk // _HIT_PACK
-                        cc = (kk % _HIT_PACK) * 9
+                    for rr, kk2 in ((r, k) for r in rr_list
+                                    for k in range(_HIT_PACK)):
+                        cc = kk2 * 9
                         v0x = rows[rr, cc + 0]
                         v0y = rows[rr, cc + 1]
                         v0z = rows[rr, cc + 2]
@@ -2029,13 +2065,14 @@ def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
                         qz = sx * e1y - sy * e1x
                         vb = f * (dx * qx + dy * qy + dz * qz)
                         t = f * (e2x * qx + e2y * qy + e2z * qz)
-                        ok = (box_mask
+                        ok = (mask
                               & (jnp.abs(a) > 1e-7)
                               & (ub >= 0.0) & (ub <= 1.0)
                               & (vb >= 0.0) & (ub + vb <= 1.0)
                               & (t >= t_min))
                         cands.append((jnp.where(ok, t, BIG),
-                                      base_slot + float(kk), ub, vb))
+                                      base_slot + float(rr * _HIT_PACK + kk2),
+                                      ub, vb))
 
                     while len(cands) > 1:
                         nxt = []
@@ -2051,6 +2088,41 @@ def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
                             nxt.append(cands[-1])
                         cands = nxt
                     return cands[0]
+
+                def leaf(nrow, rstart, box_mask, carry):
+                    if _dbg == "nodes":      # walk only (perf debug)
+                        return carry
+                    rows = geom_ref[pl.ds(rstart, rows_per_leaf), :]
+                    base_slot = rstart.astype(jnp.float32) * float(_HIT_PACK)
+                    if not has_rowbb:
+                        return row_cands(rows, range(rows_per_leaf),
+                                         base_slot, box_mask, carry)
+                    for rr in range(rows_per_leaf):
+                        c0 = 23 + 6 * rr
+                        rx0 = (nrow[0, c0 + 0] - ox) * ivx
+                        ry0 = (nrow[0, c0 + 1] - oy) * ivy
+                        rz0 = (nrow[0, c0 + 2] - oz) * ivz
+                        rx1 = (nrow[0, c0 + 3] - ox) * ivx
+                        ry1 = (nrow[0, c0 + 4] - oy) * ivy
+                        rz1 = (nrow[0, c0 + 5] - oz) * ivz
+                        rtn = jnp.maximum(
+                            jnp.maximum(jnp.minimum(rx0, rx1),
+                                        jnp.minimum(ry0, ry1)),
+                            jnp.minimum(rz0, rz1))
+                        rtf = jnp.minimum(
+                            jnp.minimum(jnp.maximum(rx0, rx1),
+                                        jnp.maximum(ry0, ry1)),
+                            jnp.maximum(rz0, rz1))
+                        limit = jnp.minimum(carry[0], t2)
+                        row_hit = (box_mask
+                                   & (rtf >= jnp.maximum(rtn, t_min))
+                                   & (rtn <= limit))
+                        carry = jax.lax.cond(
+                            jnp.any(row_hit),
+                            lambda c, rh=row_hit, rr=rr: row_cands(
+                                rows, (rr,), base_slot, rh, c),
+                            lambda c: c, carry)
+                    return carry
 
                 def wcond(state):
                     return state[0] >= 0
@@ -2095,7 +2167,7 @@ def _make_hit_kernel(bake: SceneBake, t_min: float, sub: int):
                     rstart = nfield(6).astype(jnp.int32)
                     carry = jax.lax.cond(
                         any_hit & (rstart >= 0),
-                        lambda c: leaf(rstart, hit_box, c),
+                        lambda c: leaf(nrow, rstart, hit_box, c),
                         lambda c: c, carry)
 
                     def pick(col0):

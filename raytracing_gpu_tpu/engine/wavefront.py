@@ -445,6 +445,7 @@ def _pow2_at_least(n: int) -> int:
 def compile_regen_renderer(
     scene: Scene, camera: Camera, settings: RenderSettings,
     tracer=None, debug_stats: bool = False, hit_sub: int | None = None,
+    _local=None,
 ) -> Callable[[Array], Array]:
     """Regenerative (persistent) wavefront: key -> (npix_pad, 3) sums.
 
@@ -487,6 +488,13 @@ def compile_regen_renderer(
     while on the sphere-BVH big_scene1 the cheaper candidates favor bigger
     packets (sub=16 3.60, 32 5.30).  Default: 16 for tri_stream scenes,
     32 otherwise.
+
+    _local: INTERNAL (parallel.render.compile_sharded_renderer): a
+    (npix_local, spp_local) pair — build the regen body for one device's
+    contiguous pixel span.  The returned callable is then UNJITTED and
+    takes (key, pix_lo) with pix_lo the traced global index of the span's
+    first pixel (each shard_map device regens its own pixels with its own
+    persistent wave), and returns the raw (npix_pad_local, 3) sums.
     """
     from ..ops import pallas_trace
 
@@ -496,9 +504,9 @@ def compile_regen_renderer(
     if hit_sub is None:
         hit_sub = 16 if tracer.bake.tri_stream else 32
     h, w = settings.image_height, settings.image_width
-    npix = h * w
+    npix = h * w if _local is None else _local[0]
     N = settings.ray_batch
-    spp = settings.spp_per_chunk
+    spp = settings.spp_per_chunk if _local is None else _local[1]
     max_depth, t_min = settings.max_depth, settings.t_min
     rr_start = settings.rr_start
     bg = jnp.asarray(np.asarray(scene.background), jnp.float32)
@@ -514,14 +522,14 @@ def compile_regen_renderer(
     # but the stream only needs drain_k alignment — trace the smaller pad
     # (the grid pads to whole 65k waves, ~9% wasted rays at 800x600) and
     # zero-fill the output rows beyond it
-    _, _, _, npix_pad_out, _, _ = _grid_geometry(settings)
+    npix_pad_out = (_grid_geometry(settings)[3] if _local is None else 0)
     npix_pad = -(-npix // drain_k) * drain_k
     total = npix_pad * spp                  # stream length (rays)
     inv_w = 1.0 / max(w - 1, 1)
     inv_h = 1.0 / max(h - 1, 1)
 
     def step(carry):
-        (it, stream_next, drained, hist, key, fb, ring,
+        (it, stream_next, drained, hist, key, pix_lo, fb, ring,
          pay, alive) = carry
         k_it = rng.fold(key, it)
         k_jit, k_cam, k_scat, k_rr = jax.random.split(k_it, 4)
@@ -539,8 +547,9 @@ def compile_regen_renderer(
         s_idx = stream_next + (lane - n_live)
         new = (~alive) & (s_idx < total) & (lane >= n_live)
         pix_new = jnp.clip(s_idx // spp, 0, npix_pad - 1)
-        r = jnp.minimum(pix_new // w, h - 1)
-        c = jnp.minimum(pix_new % w, w - 1)
+        g = pix_lo + pix_new               # global pixel for camera coords
+        r = jnp.minimum(g // w, h - 1)
+        c = jnp.minimum(g % w, w - 1)
         jit2 = rng.uniform(k_jit, (N, 2))
         u = (c.astype(jnp.float32) + jit2[:, 0]) * inv_w
         v = ((h - 1 - r).astype(jnp.float32) + jit2[:, 1]) * inv_h
@@ -615,11 +624,10 @@ def compile_regen_renderer(
         pay = jnp.concatenate(
             [o, d, tm[:, None], thr, rad, pix.astype(jnp.float32)[:, None],
              depth.astype(jnp.float32)[:, None]], axis=1)
-        return (it + 1, stream_next + n_refill, drained, hist, key, fb,
-                ring, pay, alive)
+        return (it + 1, stream_next + n_refill, drained, hist, key, pix_lo,
+                fb, ring, pay, alive)
 
-    @jax.jit
-    def chunk(key):
+    def body(key, pix_lo):
         fb = jnp.zeros((npix_pad, 3), jnp.float32)
         ring = jnp.zeros((ring_w, 3), jnp.float32)
         pay = jnp.zeros((N, 15), jnp.float32)
@@ -627,7 +635,7 @@ def compile_regen_renderer(
         alive = jnp.zeros((N,), bool)
         hist = jnp.zeros((max_depth,), jnp.int32)
         carry = (jnp.int32(0), jnp.int32(0), jnp.int32(0), hist, key,
-                 fb, ring, pay, alive)
+                 jnp.asarray(pix_lo, jnp.int32), fb, ring, pay, alive)
 
         def cond(carry):
             it, stream_next, *_rest = carry
@@ -635,7 +643,7 @@ def compile_regen_renderer(
             return (stream_next < total) | jnp.any(alive)
 
         carry = jax.lax.while_loop(cond, step, carry)
-        _, _, drained, _, _, fb, ring, _, _ = carry
+        drained, fb, ring = carry[2], carry[6], carry[7]
         # final flush: each ring row r still holds at most one undrained
         # pixel p = drained + ((r - drained) mod ring_w); one small scatter
         row = jnp.arange(ring_w, dtype=jnp.int32)
@@ -643,13 +651,22 @@ def compile_regen_renderer(
         ok = p_cand < npix_pad
         fb = fb.at[jnp.where(ok, p_cand, 0)].add(
             jnp.where(ok[:, None], ring, 0.0))
-        if npix_pad_out <= npix_pad:
-            fb = fb[:npix_pad_out]
-        else:
-            fb = jnp.concatenate(
-                [fb, jnp.zeros((npix_pad_out - npix_pad, 3), jnp.float32)])
+        if _local is None:
+            if npix_pad_out <= npix_pad:
+                fb = fb[:npix_pad_out]
+            else:
+                fb = jnp.concatenate(
+                    [fb,
+                     jnp.zeros((npix_pad_out - npix_pad, 3), jnp.float32)])
         if debug_stats:
             return fb, {"iterations": carry[0], "stream": carry[1]}
         return fb
+
+    if _local is not None:
+        return body
+
+    @jax.jit
+    def chunk(key):
+        return body(key, 0)
 
     return chunk

@@ -133,6 +133,54 @@ def compile_sharded_renderer(scene: Scene, camera: Camera,
             tracer0.bake.tri_stream
             or (settings.rr_start > 0
                 and not pallas_trace.supports_forward(scene)))
+        deep_sphere_bvh = (tracer0 is not None
+                           and len(tracer0.bake.sph_hit_nodes) > 0
+                           and settings.max_depth >= 8)
+        n_sp_, n_dp_ = mesh.shape[SP_AXIS], mesh.shape[DP_AXIS]
+        spp_local_ok = (settings.spp_per_chunk % n_sp_ == 0
+                        and settings.spp_per_chunk // n_sp_ >= 16)
+        if ((want_wavefront or deep_sphere_bvh) and tracer0.supports_hit
+                and spp_local_ok):
+            # REGEN per device: each chip runs its own persistent
+            # always-full wave over the pixel span it owns, at the sample
+            # share its sp coordinate owns, inside shard_map — the round-5
+            # single-chip flagship composed with the mesh (2-3x the
+            # bounce-synchronous per-wave fallback below on mesh scenes)
+            from ..engine.wavefront import compile_regen_renderer
+
+            h, w = settings.image_height, settings.image_width
+            npix = h * w
+            local_npix = -(-npix // n_dp_)
+            spp_local = settings.spp_per_chunk // n_sp_
+            body = compile_regen_renderer(
+                scene, camera, settings, tracer=tracer0,
+                _local=(local_npix, spp_local))
+
+            @partial(shard_map, mesh=mesh, in_specs=(P(),),
+                     out_specs=P(DP_AXIS), check_rep=False)
+            def regen_work(key):
+                dp = jax.lax.axis_index(DP_AXIS)
+                sp = jax.lax.axis_index(SP_AXIS)
+                k_dev = rng.fold(rng.fold(key, 0x5A11 + sp), dp)
+                fb = body(k_dev, dp * local_npix)[:local_npix]
+                # sample-ensemble reduce over ICI, like the XLA path
+                return jax.lax.psum(fb, SP_AXIS)
+
+            def regen_chunk(key):
+                out = regen_work(key)
+                # chunk contract: rows >= the generic npix_pad layout,
+                # global pixel i at row i (shards are contiguous spans)
+                b = min(settings.ray_batch, _ceil_to(npix, 8))
+                rows_out = _ceil_to(npix, b * n_dp_)
+                pad = rows_out - out.shape[0]
+                if pad > 0:
+                    out = jnp.concatenate(
+                        [out, jnp.zeros((pad, 3), out.dtype)])
+                return out
+
+            regen_chunk = jax.jit(regen_chunk)
+            regen_chunk.engine_name = "regen"
+            return regen_chunk
         if want_wavefront and tracer0.supports_hit:
             # sorted wavefront per device: same routing rule as the
             # single-chip compile_renderer (big-mesh scenes diverge the

@@ -224,3 +224,30 @@ class TestShardedWavefront:
         assert sharded_c.engine_name == "wavefront"
         sharded = np.asarray(sharded_c(key))[:npix]
         np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
+
+    def test_sharded_regen_matches_single_statistically(self):
+        """Round-5 composition: the regenerative wavefront runs PER DEVICE
+        inside shard_map (own pixel span, own persistent wave, psum over
+        sp).  Sample streams differ per device, so parity vs the
+        single-device regen driver is statistical."""
+        from raytracing_gpu_tpu.engine.wavefront import compile_regen_renderer
+        from raytracing_gpu_tpu.parallel.render import \
+            compile_sharded_renderer
+
+        sd = scenes.get("door")
+        st = RenderSettings(image_width=48, aspect_ratio=sd.aspect,
+                            spp_per_chunk=32, num_chunks=1, max_depth=4,
+                            ray_batch=1024, rr_start=2)
+        key = jax.random.PRNGKey(12)
+        npix = st.num_pixels
+        single = np.asarray(compile_regen_renderer(
+            sd.scene, sd.camera, st)(key))[:npix] / 32
+        for n_sp, n_dp in ((1, 8), (2, 4)):
+            mesh = make_mesh(n_sp=n_sp, n_dp=n_dp)
+            c = compile_sharded_renderer(sd.scene, sd.camera, st, mesh,
+                                         engine="pallas")
+            assert c.engine_name == "regen", (n_sp, n_dp, c.engine_name)
+            sh = np.asarray(c(key))[:npix] / 32
+            assert abs(sh.mean() - single.mean()) < 0.03 * single.mean() + 5e-3
+            corr = np.corrcoef(sh.reshape(-1), single.reshape(-1))[0, 1]
+            assert corr > 0.9, (n_sp, n_dp, corr)

@@ -85,7 +85,11 @@ def test_sharded_routing_wavefront():
     sd = scenes.get("backpack")
     c = compile_sharded_renderer(sd.scene, sd.camera, _settings(sd.aspect),
                                  mesh, engine="pallas")
-    assert c.engine_name == "wavefront"
+    assert c.engine_name == "regen"        # spp_local >= 16: per-device regen
+    c = compile_sharded_renderer(sd.scene, sd.camera,
+                                 _settings(sd.aspect, spp=4), mesh,
+                                 engine="pallas")
+    assert c.engine_name == "wavefront"    # low spp: bounce-synchronous
     sd = scenes.get("cornell_box")
     c = compile_sharded_renderer(sd.scene, sd.camera, _settings(sd.aspect),
                                  mesh, engine="pallas")

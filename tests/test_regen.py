@@ -169,3 +169,39 @@ class TestSphereBVHHitTier:
                                  ray_batch=512)
         c = compile_renderer(sd.scene, sd.camera, shallow, engine="pallas")
         assert c.engine_name == "megakernel"
+
+
+class TestOversizedMeshFallback:
+    def test_huge_mesh_falls_back_to_streamed_megakernel(self):
+        """ADVICE r4 (medium): _bake_tri_packed's escalation caps at
+        rows_per_leaf=64; a mesh too big for the hit tier's VMEM budget
+        must report supports_hit=False and route to the streamed megakernel
+        walk instead of shipping an uncompilable pallas_call."""
+        import numpy as np
+
+        from raytracing_gpu_tpu.engine.render import compile_renderer
+        from raytracing_gpu_tpu.scene.builder import SceneBuilder
+
+        rng_ = np.random.default_rng(0)
+        n = 400_000
+        v0 = rng_.uniform(-10, 10, (n, 3)).astype(np.float32)
+        verts = np.concatenate(
+            [v0, v0 + rng_.uniform(-0.05, 0.05, (n, 3)).astype(np.float32),
+             v0 + rng_.uniform(-0.05, 0.05, (n, 3)).astype(np.float32)])
+        faces = np.arange(3 * n, dtype=np.int64).reshape(3, n).T
+        b = SceneBuilder()
+        mat = b.lambertian((0.5, 0.5, 0.5))
+        b.mesh(verts, faces, mat)
+        scene = b.build()
+        tracer = PallasTracer(scene)
+        assert tracer.bake.tri_stream          # way past the resident budget
+        assert not tracer.supports_hit         # hit tier would not fit VMEM
+        from raytracing_gpu_tpu.core.camera import Camera
+
+        cam = Camera.make((0, 0, -30), (0, 0, 0), (0, 1, 0), 40, 1.0, 0.0,
+                          10.0)
+        st = RenderSettings(image_width=32, aspect_ratio=1.0,
+                            spp_per_chunk=16, num_chunks=1, max_depth=4,
+                            ray_batch=512)
+        c = compile_renderer(scene, cam, st, engine="pallas")
+        assert c.engine_name == "megakernel"   # streamed walk, not regen

@@ -140,7 +140,15 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
             # megakernel (11.5 Mrays/s at depth 4).
             deep_sphere_bvh = (len(tracer.bake.sph_hit_nodes) > 0
                                and settings.max_depth >= 8)
-            if (want_wavefront or deep_sphere_bvh) and tracer.supports_hit:
+            # image-texture scenes at DEEP depth: the record walk pays the
+            # same linear-depth straggler tax (a 100-spp door chunk at the
+            # reference-default depth 50 exceeded the ~60 s device watchdog
+            # and crashed the worker; regen sustains 3.3 Mrays/s there) —
+            # shallow renders keep the much faster record walk (~108 at d8)
+            deep_record = (not pallas_trace.supports_forward(scene)
+                           and settings.max_depth >= 24)
+            if ((want_wavefront or deep_sphere_bvh or deep_record)
+                    and tracer.supports_hit):
                 from .wavefront import (compile_regen_renderer,
                                         compile_wavefront_renderer)
 
@@ -155,7 +163,7 @@ def compile_renderer(scene: Scene, camera: Camera, settings: RenderSettings,
                                                        settings,
                                                        tracer=tracer),
                                 "regen")
-                if want_wavefront:
+                if want_wavefront or deep_record:
                     return _tag(compile_wavefront_renderer(scene, camera,
                                                            settings,
                                                            tracer=tracer),

@@ -205,3 +205,22 @@ class TestOversizedMeshFallback:
                             ray_batch=512)
         c = compile_renderer(scene, cam, st, engine="pallas")
         assert c.engine_name == "megakernel"   # streamed walk, not regen
+
+
+def test_deep_record_walk_routes_regen():
+    """Reference-default depth 50 on an image-textured scene must route to
+    the wavefront engines: the record walk's linear-depth straggler tax
+    exceeded the device watchdog at 100-spp chunks (round-5 measurement)."""
+    from raytracing_gpu_tpu.engine.render import compile_renderer
+
+    sd = scenes.get("door")
+    deep = RenderSettings(image_width=64, aspect_ratio=sd.aspect,
+                          spp_per_chunk=16, num_chunks=1, max_depth=50,
+                          ray_batch=512)
+    c = compile_renderer(sd.scene, sd.camera, deep, engine="pallas")
+    assert c.engine_name == "regen"
+    shallow = RenderSettings(image_width=64, aspect_ratio=sd.aspect,
+                             spp_per_chunk=16, num_chunks=1, max_depth=8,
+                             ray_batch=512)
+    c = compile_renderer(sd.scene, sd.camera, shallow, engine="pallas")
+    assert c.engine_name == "record-walk"

@@ -136,11 +136,16 @@ def compile_sharded_renderer(scene: Scene, camera: Camera,
         deep_sphere_bvh = (tracer0 is not None
                            and len(tracer0.bake.sph_hit_nodes) > 0
                            and settings.max_depth >= 8)
+        # deep image-texture renders: record walk exceeds the device
+        # watchdog at reference-default depth (engine/render.py, round 5)
+        deep_record = (tracer0 is not None
+                       and not pallas_trace.supports_forward(scene)
+                       and settings.max_depth >= 24)
         n_sp_, n_dp_ = mesh.shape[SP_AXIS], mesh.shape[DP_AXIS]
         spp_local_ok = (settings.spp_per_chunk % n_sp_ == 0
                         and settings.spp_per_chunk // n_sp_ >= 16)
-        if ((want_wavefront or deep_sphere_bvh) and tracer0.supports_hit
-                and spp_local_ok):
+        if ((want_wavefront or deep_sphere_bvh or deep_record)
+                and tracer0.supports_hit and spp_local_ok):
             # REGEN per device: each chip runs its own persistent
             # always-full wave over the pixel span it owns, at the sample
             # share its sp coordinate owns, inside shard_map — the round-5
@@ -181,7 +186,7 @@ def compile_sharded_renderer(scene: Scene, camera: Camera,
             regen_chunk = jax.jit(regen_chunk)
             regen_chunk.engine_name = "regen"
             return regen_chunk
-        if want_wavefront and tracer0.supports_hit:
+        if (want_wavefront or deep_record) and tracer0.supports_hit:
             # sorted wavefront per device: same routing rule as the
             # single-chip compile_renderer (big-mesh scenes diverge the
             # full-depth megakernel packet walk; image-textured scenes with

@@ -94,3 +94,13 @@ def test_sharded_routing_wavefront():
     c = compile_sharded_renderer(sd.scene, sd.camera, _settings(sd.aspect),
                                  mesh, engine="pallas")
     assert c.engine_name == "megakernel"
+    # deep image-texture renders (reference-default depth 50): the record
+    # walk exceeds the device watchdog, so the sharded router must also
+    # pick the wavefront engines
+    sd = scenes.get("door")
+    st = RenderSettings(image_width=64, aspect_ratio=sd.aspect,
+                        spp_per_chunk=16, num_chunks=1, max_depth=50,
+                        ray_batch=512)
+    c = compile_sharded_renderer(sd.scene, sd.camera, st, mesh,
+                                 engine="pallas")
+    assert c.engine_name == "regen"

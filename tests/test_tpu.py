@@ -161,3 +161,48 @@ def test_fused_diff_chunk_on_tpu(tpu):
     for name, grad in g.items():
         assert np.all(np.isfinite(np.asarray(grad))), name
     assert np.abs(np.asarray(g["tex_c1"])).max() > 0.0
+
+
+def test_regen_renderer_on_tpu(tpu):
+    """Round-5 regenerative wavefront, real Mosaic compile: deterministic,
+    statistically consistent with the bounce-synchronous wavefront, and the
+    sphere-BVH hit tier (big_scene1) agrees with the XLA oracle on chip."""
+    import jax.numpy as jnp
+
+    from raytracing_gpu_tpu import RenderSettings
+    from raytracing_gpu_tpu.engine.intersect import closest_hit
+    from raytracing_gpu_tpu.engine.wavefront import (
+        compile_regen_renderer, compile_wavefront_renderer, pack_attr_table,
+        resolve_hit_packed)
+    from raytracing_gpu_tpu.models import scenes
+    from raytracing_gpu_tpu.ops.pallas_trace import PallasTracer
+
+    jax = tpu
+    sd = scenes.get("door")
+    st = RenderSettings(image_width=96, aspect_ratio=sd.aspect,
+                        spp_per_chunk=32, num_chunks=1, max_depth=6,
+                        ray_batch=8192)
+    key = jax.random.PRNGKey(3)
+    npix = st.num_pixels
+    f = compile_regen_renderer(sd.scene, sd.camera, st)
+    a = np.asarray(f(key))[:npix] / 32
+    a2 = np.asarray(f(key))[:npix] / 32
+    np.testing.assert_array_equal(a, a2)
+    b = np.asarray(compile_wavefront_renderer(
+        sd.scene, sd.camera, st)(key))[:npix] / 32
+    assert abs(a.mean() - b.mean()) < 0.02 * max(b.mean(), 1e-3) + 5e-3
+    assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.95
+
+    sd2 = scenes.get("big_scene1")
+    tracer = PallasTracer(sd2.scene)
+    assert tracer.supports_hit
+    o, d, tm = _rays(sd2, 8192, 5)
+    packed, p, u, v, normal, slot = tracer.hit(o, d, tm,
+                                               jnp.ones(8192, bool))
+    attr = pack_attr_table(sd2.scene, tracer.bake.tri_perm)
+    rec = resolve_hit_packed(attr, packed, p, u, v, normal, slot, d)
+    ref = closest_hit(sd2.scene, o, d, tm, jax.random.PRNGKey(9))
+    hk = np.asarray(rec.hit)
+    np.testing.assert_array_equal(hk, np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(rec.mat_id)[hk],
+                                  np.asarray(ref.mat_id)[hk])

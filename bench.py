@@ -44,7 +44,10 @@ WIDTH = 512
 SPP_TOTAL = 64
 SPP_PER_CHUNK = 8
 MAX_DEPTH = 8
-RAY_BATCH = 65536
+# rb sweep (round 5, v5e): 16384 -> 273, 32768 -> 284, 49152 -> 256, 65536 -> 280,
+# 131072 -> 250 Mrays/s.  32k waves win: the fused walk's live-lane tail and the
+# scatter target both stay VMEM-resident at this size (docs/PERF.md round 5).
+RAY_BATCH = 32768
 
 
 def main() -> None:

@@ -136,8 +136,10 @@ def bench_fwd_bwd(spp_scale: int) -> dict:
 
     spp_run = max(8, 64 // spp_scale)
     sd = scenes.get("cornell_box")
+    # rb=32768 for the fused-VJP path (the bench.py round-5 sweep: 284 vs 280
+    # at 65536); the forward megakernel configs keep 65536 (measured faster).
     st = RenderSettings(image_width=512, aspect_ratio=1.0, spp_per_chunk=8,
-                        num_chunks=spp_run // 8, max_depth=8, ray_batch=65536)
+                        num_chunks=spp_run // 8, max_depth=8, ray_batch=32768)
     if jax.default_backend() == "tpu":
         # same hand-scheduled VJP path bench.py reports (engine/fused_diff.py)
         from raytracing_gpu_tpu.engine.fused_diff import \

@@ -117,58 +117,73 @@ struct Builder {
   }
 
   // Binned SAH split: returns the partition point, or -1 to make a leaf.
+  // All THREE axes are binned and swept; the (axis, bin) pair with the
+  // lowest surface-area cost wins (the single-longest-axis variant left
+  // ~5% extra candidate work on the mesh scenes — swept round 5).
   int partition_sah(int32_t* first, int count, const Box& bb, const Box& cb) {
-    float ext[3] = {cb.hi.x - cb.lo.x, cb.hi.y - cb.lo.y, cb.hi.z - cb.lo.z};
-    int axis = 0;
-    if (ext[1] > ext[axis]) axis = 1;
-    if (ext[2] > ext[axis]) axis = 2;
-    if (ext[axis] < 1e-12f) return -1;
-
-    const float clo = axis == 0 ? cb.lo.x : (axis == 1 ? cb.lo.y : cb.lo.z);
-    const float scale = kBins / ext[axis];
-    auto bin_of = [&](int id) {
-      const Vec3& c = centroid[id];
-      float v = axis == 0 ? c.x : (axis == 1 ? c.y : c.z);
-      int b = static_cast<int>((v - clo) * scale);
-      return std::min(std::max(b, 0), kBins - 1);
-    };
-
-    Box bin_box[kBins];
-    int bin_cnt[kBins] = {0};
-    for (int i = 0; i < count; ++i) {
-      int b = bin_of(first[i]);
-      bin_box[b].grow(prim(first[i]));
-      bin_cnt[b]++;
-    }
-
-    // sweep: best split between bins minimizing SAH cost
-    Box right_acc[kBins];
-    Box acc;
-    for (int b = kBins - 1; b >= 1; --b) {
-      acc.grow(bin_box[b]);
-      right_acc[b] = acc;
-    }
-    float best_cost = 1e30f;
-    int best_bin = -1;
-    Box left_acc;
-    int left_n = 0;
+    const float ext[3] = {cb.hi.x - cb.lo.x, cb.hi.y - cb.lo.y,
+                          cb.hi.z - cb.lo.z};
+    const float clo_all[3] = {cb.lo.x, cb.lo.y, cb.lo.z};
     const float inv_root_area = 1.0f / std::max(bb.area(), 1e-30f);
-    for (int b = 1; b < kBins; ++b) {
-      left_acc.grow(bin_box[b - 1]);
-      left_n += bin_cnt[b - 1];
-      int right_n = count - left_n;
-      if (left_n == 0 || right_n == 0) continue;
-      float cost = 0.125f + (left_n * left_acc.area() + right_n * right_acc[b].area()) * inv_root_area;
-      if (cost < best_cost) {
-        best_cost = cost;
-        best_bin = b;
+
+    float best_cost = 1e30f;
+    int best_bin = -1, best_axis = -1;
+    float best_scale = 0.0f;
+    for (int axis = 0; axis < 3; ++axis) {
+      if (ext[axis] < 1e-12f) continue;
+      const float clo = clo_all[axis];
+      const float scale = kBins / ext[axis];
+      auto bin_of = [&](int id) {
+        const Vec3& c = centroid[id];
+        float v = axis == 0 ? c.x : (axis == 1 ? c.y : c.z);
+        int b = static_cast<int>((v - clo) * scale);
+        return std::min(std::max(b, 0), kBins - 1);
+      };
+
+      Box bin_box[kBins];
+      int bin_cnt[kBins] = {0};
+      for (int i = 0; i < count; ++i) {
+        int b = bin_of(first[i]);
+        bin_box[b].grow(prim(first[i]));
+        bin_cnt[b]++;
+      }
+
+      // sweep: best split between bins minimizing SAH cost on this axis
+      Box right_acc[kBins];
+      Box acc;
+      for (int b = kBins - 1; b >= 1; --b) {
+        acc.grow(bin_box[b]);
+        right_acc[b] = acc;
+      }
+      Box left_acc;
+      int left_n = 0;
+      for (int b = 1; b < kBins; ++b) {
+        left_acc.grow(bin_box[b - 1]);
+        left_n += bin_cnt[b - 1];
+        int right_n = count - left_n;
+        if (left_n == 0 || right_n == 0) continue;
+        float cost = 0.125f + (left_n * left_acc.area() +
+                               right_n * right_acc[b].area()) * inv_root_area;
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_bin = b;
+          best_axis = axis;
+          best_scale = scale;
+        }
       }
     }
     if (best_bin < 0) return -1;
     if (best_cost >= static_cast<float>(count) && count <= leaf_size) return -1;
 
+    const float clo = clo_all[best_axis];
+    auto bin_of_best = [&](int id) {
+      const Vec3& c = centroid[id];
+      float v = best_axis == 0 ? c.x : (best_axis == 1 ? c.y : c.z);
+      int b = static_cast<int>((v - clo) * best_scale);
+      return std::min(std::max(b, 0), kBins - 1);
+    };
     int32_t* mid = std::partition(first, first + count, [&](int id) {
-      return bin_of(id) < best_bin;
+      return bin_of_best(id) < best_bin;
     });
     return static_cast<int>(mid - first);
   }

@@ -72,7 +72,10 @@ def main() -> None:
     # any multi-dispatch protocol understates the chip.  Every chunk of every
     # rep uses a distinct fold_in key (distinct real work), and both loss AND
     # grads accumulate into the loop carry, so no rep/backward can be DCE'd.
-    REPS = 10
+    # REPS amortizes the constant ~23 ms dispatch+sync tax: 10 reps -> 284,
+    # 20 -> 290.5, 40 -> 295.0 Mrays/s (tax share 4% -> 1%); 40 keeps each
+    # timed trial ~2.3 s, inside the device watchdog with wide margin.
+    REPS = 40
     n_chunks = settings.num_chunks
 
     @jax.jit

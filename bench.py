@@ -73,9 +73,9 @@ def main() -> None:
     # rep uses a distinct fold_in key (distinct real work), and both loss AND
     # grads accumulate into the loop carry, so no rep/backward can be DCE'd.
     # REPS amortizes the constant ~23 ms dispatch+sync tax: 10 reps -> 284,
-    # 20 -> 290.5, 40 -> 295.0 Mrays/s (tax share 4% -> 1%); 40 keeps each
-    # timed trial ~2.3 s, inside the device watchdog with wide margin.
-    REPS = 40
+    # 20 -> 290.5, 40 -> 295.4, 80 -> 297.5 Mrays/s; 80 keeps each timed
+    # trial ~4.5 s, still far inside the ~60 s device watchdog.
+    REPS = 80
     n_chunks = settings.num_chunks
 
     @jax.jit
